@@ -1,0 +1,273 @@
+"""Shared building blocks: norms, FiLM, speaker transform/fusion, LSTM module.
+
+Re-designs of /root/reference/wesep/modules/common/{norm,speaker}.py for
+channels-LAST layouts ([B, T, C] / [B, T, F, C]) so the channel dim sits on
+the TPU lane dimension. Fuse semantics (concat/additive/multiply/FiLM) match
+the reference exactly.
+"""
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from wesep_tpu.ops.init import torch_linear_init
+
+__all__ = [
+    "GlobalLayerNorm",
+    "ChannelLayerNorm",
+    "get_norm",
+    "FiLM",
+    "PReLU",
+    "SpeakerTransform",
+    "SpeakerFuse",
+    "Dense",
+    "Conv1d",
+]
+
+
+class Dense(nn.Module):
+    """Linear layer with torch-default init (U(-1/sqrt(in), 1/sqrt(in)))."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        init = torch_linear_init(fan_in)
+        kernel = self.param("kernel", init, (fan_in, self.features))
+        y = jnp.matmul(
+            x.astype(self.dtype or x.dtype),
+            kernel.astype(self.dtype or kernel.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            bias = self.param("bias", init, (self.features,))
+            y = y + bias
+        return y.astype(x.dtype)
+
+
+class Conv1d(nn.Module):
+    """1-D conv on [B, T, C] with torch-default init.
+
+    Wraps flax Conv (NWC layout) but initializes like torch nn.Conv1d so
+    training dynamics match the reference configs.
+    """
+
+    features: int
+    kernel_size: int = 1
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    padding: str | int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        fan_in = self.kernel_size * (in_ch // self.groups)
+        init = torch_linear_init(fan_in)
+        if isinstance(self.padding, int):
+            padding = [(self.padding, self.padding)]
+        else:
+            padding = self.padding
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size,),
+            strides=(self.stride,),
+            kernel_dilation=(self.dilation,),
+            feature_group_count=self.groups,
+            padding=padding,
+            use_bias=self.use_bias,
+            kernel_init=init,
+            bias_init=init,
+        )(x)
+
+
+class GlobalLayerNorm(nn.Module):
+    """gLN: normalize over ALL non-batch dims, per-channel affine.
+
+    Equivalent to the reference GlobalChannelLayerNorm
+    (/root/reference/wesep/modules/common/norm.py:7-48) and to
+    nn.GroupNorm(1, C) on [B, C, T]. Input here is [B, ..., C].
+    """
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        weight = self.param("weight", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        axes = tuple(range(1, x.ndim))
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=axes, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        return (weight * y + bias).astype(x.dtype)
+
+
+class ChannelLayerNorm(nn.Module):
+    """cLN: LayerNorm over the channel (last) dim only, per (B, T) position."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=self.eps)(x)
+
+
+class BatchNorm1d(nn.Module):
+    """BatchNorm over (B, T) per channel; uses running stats at eval."""
+
+    eps: float = 1e-5
+    momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum,
+            epsilon=self.eps,
+            axis_name=None,
+        )(x)
+
+
+def get_norm(kind: str, eps: float = 1e-5):
+    """cLN / gLN / BN selector (reference select_norm, norm.py:69-81)."""
+    if kind == "cLN":
+        return ChannelLayerNorm(eps=eps)
+    if kind == "gLN":
+        return GlobalLayerNorm(eps=eps)
+    if kind == "BN":
+        return BatchNorm1d(eps=eps)
+    raise ValueError(f"Unsupported norm: {kind}")
+
+
+class PReLU(nn.Module):
+    """PReLU with a single shared slope, init 0.25 (torch default)."""
+
+    init: float = 0.25
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param(
+            "alpha", lambda key, shape: jnp.full(shape, self.init), (1,)
+        )
+        return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
+
+
+class FiLM(nn.Module):
+    """Feature-wise linear modulation, zero-initialized to identity.
+
+    (1 + gamma(e)) * x + beta(e); gamma/beta MLPs start at exactly zero
+    (reference FiLM.init_weights, norm.py:110-116).
+    """
+
+    feat_dim: int
+    num_layers: int = 1
+
+    @nn.compact
+    def __call__(self, embed, x):
+        gamma, beta = embed, embed
+        for i in range(self.num_layers):
+            zero = nn.initializers.zeros
+            gamma = nn.Dense(self.feat_dim, kernel_init=zero, bias_init=zero,
+                             name=f"gamma_{i}")(gamma)
+            beta = nn.Dense(self.feat_dim, kernel_init=zero, bias_init=zero,
+                            name=f"beta_{i}")(beta)
+        # embed: [B, E] -> broadcast over x [B, ..., C]
+        while gamma.ndim < x.ndim:
+            gamma = gamma[:, None]
+            beta = beta[:, None]
+        return (1.0 + gamma) * x + beta
+
+
+class SpeakerTransform(nn.Module):
+    """3-layer pointwise MLP on the embedding, keeps dimension.
+
+    Reference: /root/reference/wesep/modules/common/speaker.py:26-49
+    (Conv1d(E,hid,1) -> [Conv1d(hid,hid,1), Tanh] -> Conv1d(hid,E,1)).
+    """
+
+    embed_dim: int = 256
+    num_layers: int = 3
+    hid_dim: int = 128
+
+    @nn.compact
+    def __call__(self, e):
+        y = Dense(self.hid_dim)(e)
+        for _ in range(self.num_layers - 2):
+            y = jnp.tanh(Dense(self.hid_dim)(y))
+        return Dense(self.embed_dim)(y)
+
+
+class SpeakerFuse(nn.Module):
+    """Fuse a speaker embedding [B, E] into features [B, ..., C].
+
+    fuse_type: concat | additive | multiply | FiLM
+    (reference SpeakerFuseLayer, speaker.py:63-125). Works for both the 3-D
+    [B, T, C] and 4-D [B, nband, T, C] layouts — the embedding broadcasts
+    across all middle dims.
+    """
+
+    feat_dim: int
+    fuse_type: str = "concat"
+
+    @nn.compact
+    def __call__(self, x, embed):
+        ft = self.fuse_type
+        if ft == "None":
+            return x
+        if ft == "FiLM":
+            return FiLM(self.feat_dim)(embed, x)
+        e = embed
+        while e.ndim < x.ndim:
+            e = jnp.expand_dims(e, 1)
+        if ft == "concat":
+            tile = jnp.broadcast_to(e, x.shape[:-1] + (embed.shape[-1],))
+            return Dense(self.feat_dim)(jnp.concatenate([x, tile], axis=-1))
+        proj = Dense(self.feat_dim)(e)
+        if ft == "additive":
+            return x + proj
+        if ft == "multiply":
+            return x * proj
+        raise ValueError(f"Fuse type not defined: {ft}")
+
+
+class LSTM(nn.Module):
+    """LSTM flax module over [B, T, D] built on the fused scan kernel.
+
+    bidirectional=True concatenates forward/backward -> [B, T, 2H].
+    Init matches torch nn.LSTM (U(-1/sqrt(H), 1/sqrt(H))).
+    """
+
+    hidden: int
+    bidirectional: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        from wesep_tpu.ops.init import torch_lstm_init
+        from wesep_tpu.ops.rnn import bilstm, lstm
+
+        d = x.shape[-1]
+        init = torch_lstm_init(self.hidden)
+        wx_f = self.param("wx_f", init, (d, 4 * self.hidden))
+        wh_f = self.param("wh_f", init, (self.hidden, 4 * self.hidden))
+        b_f = self.param("b_f", init, (4 * self.hidden,))
+        if not self.bidirectional:
+            return lstm(x, wx_f, wh_f, b_f)
+        wx_b = self.param("wx_b", init, (d, 4 * self.hidden))
+        wh_b = self.param("wh_b", init, (self.hidden, 4 * self.hidden))
+        b_b = self.param("b_b", init, (4 * self.hidden,))
+        return bilstm(x, wx_f, wh_f, b_f, wx_b, wh_b, b_b)
+
+
+def preemphasis(wav: jnp.ndarray, coef: float = 0.97) -> jnp.ndarray:
+    """Reflect-padded pre-emphasis filter [-coef, 1] (PreEmphasis module)."""
+    first = wav[..., 1:2]
+    padded = jnp.concatenate([first, wav], axis=-1)
+    return padded[..., 1:] - coef * padded[..., :-1]

@@ -1,0 +1,460 @@
+"""ConvTasNet / SpEx+ target-speaker extraction, channels-last TPU layout.
+
+Functional re-design of /root/reference/wesep/models/convtasnet.py and
+/root/reference/wesep/modules/tasnet/{convs,encoder,decoder,separation,
+speaker}.py. All features are [B, T, C] (channels on the TPU lane dim);
+convolutions are flax NWC convs which XLA lowers to MXU matmuls.
+
+Capabilities (parity targets):
+  * Multi-scale encoder/decoder (SpEx+, L=20/80/160, shared between the
+    mixture and enrollment branches) — encoder.py:63-114, decoder.py:60-114.
+  * Deep and plain single-scale encoder/decoder variants.
+  * TCN separator: R repeats x X dilated conv blocks, residual (+skip).
+  * Speaker fusion: 'concatConv' (concat tiled embedding before the first
+    conv block of each repeat) or concat/additive/multiply/FiLM.
+  * Joint training with an in-model ResNet speaker encoder over the shared
+    learned encoder features (speaker.py:48-64); optional CE head.
+
+forward contract: (mix [B,T], enroll) -> (ests, spk_logits) where ests is a
+list [est1, est2, est3] for the multi-decoder (multi-scale SI-SDR loss,
+confs/spexplus.yaml:27-30) or a single [B, T] array otherwise; spk_logits
+is None unless multi_task.
+"""
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from wesep_tpu.models.common import (
+    ChannelLayerNorm,
+    Conv1d,
+    Dense,
+    PReLU,
+    SpeakerFuse,
+    SpeakerTransform,
+    get_norm,
+)
+
+__all__ = ["ConvTasNet"]
+
+
+class ConvTranspose1d(nn.Module):
+    """Transposed 1-D conv on [B, T, C] (VALID padding = torch padding=0)."""
+
+    features: int
+    kernel_size: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x):
+        from wesep_tpu.ops.init import torch_linear_init
+
+        # torch ConvTranspose1d fan_in = out_channels/groups * kernel
+        init = torch_linear_init(self.features * self.kernel_size)
+        return nn.ConvTranspose(
+            features=self.features,
+            kernel_size=(self.kernel_size,),
+            strides=(self.stride,),
+            padding="VALID",
+            kernel_init=init,
+            bias_init=init,
+        )(x)
+
+
+class TCNBlock(nn.Module):
+    """1x1 -> PReLU -> norm -> depthwise dilated conv -> PReLU -> norm -> 1x1.
+
+    Residual output (+ optional skip path), cf. Conv1DBlock
+    (/root/reference/wesep/modules/tasnet/convs.py:43-104).
+    """
+
+    conv_channels: int = 512
+    kernel_size: int = 3
+    dilation: int = 1
+    norm: str = "gLN"
+    causal: bool = False
+    skip_con: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        pad = (
+            self.dilation * (self.kernel_size - 1) // 2
+            if not self.causal
+            else self.dilation * (self.kernel_size - 1)
+        )
+        c = Conv1d(self.conv_channels, 1)(x)
+        c = PReLU()(c)
+        c = get_norm(self.norm)(c)
+        if self.causal:
+            c = Conv1d(
+                self.conv_channels,
+                self.kernel_size,
+                dilation=self.dilation,
+                groups=self.conv_channels,
+                padding=[(pad, 0)],
+            )(c)
+        else:
+            c = Conv1d(
+                self.conv_channels,
+                self.kernel_size,
+                dilation=self.dilation,
+                groups=self.conv_channels,
+                padding=pad,
+            )(c)
+        c = PReLU()(c)
+        c = get_norm(self.norm)(c)
+        out = Conv1d(in_ch, 1)(c)
+        if self.skip_con:
+            skip = Conv1d(in_ch, 1)(c)
+            return skip, x + out
+        return x + out
+
+
+class FuseTCNBlock(nn.Module):
+    """TCN block with the speaker embedding concatenated at the input 1x1.
+
+    'concatConv' fusion, cf. Conv1DBlock4Fuse (convs.py:107-160).
+    """
+
+    conv_channels: int = 512
+    kernel_size: int = 3
+    dilation: int = 1
+    norm: str = "cLN"
+    causal: bool = False
+
+    @nn.compact
+    def __call__(self, x, embed):
+        in_ch = x.shape[-1]
+        tile = jnp.broadcast_to(
+            embed[:, None, :], x.shape[:-1] + (embed.shape[-1],)
+        )
+        y = jnp.concatenate([x, tile], axis=-1)
+        y = Conv1d(self.conv_channels, 1)(y)
+        y = get_norm(self.norm)(PReLU()(y))
+        pad = (
+            self.dilation * (self.kernel_size - 1) // 2
+            if not self.causal
+            else self.dilation * (self.kernel_size - 1)
+        )
+        y = Conv1d(
+            self.conv_channels,
+            self.kernel_size,
+            dilation=self.dilation,
+            groups=self.conv_channels,
+            padding=[(pad, 0)] if self.causal else pad,
+        )(y)
+        y = get_norm(self.norm)(PReLU()(y))
+        y = Conv1d(in_ch, 1)(y)
+        return x + y
+
+
+class TCNStack(nn.Module):
+    """R x X dilated TCN blocks (dilation 2^x), cf. Separation
+    (separation.py:8-57)."""
+
+    R: int = 3
+    X: int = 8
+    conv_channels: int = 512
+    kernel_size: int = 3
+    norm: str = "gLN"
+    causal: bool = False
+    skip_con: bool = False
+    start_dilation: int = 0
+
+    @nn.compact
+    def __call__(self, x):
+        skip_sum = 0.0
+        for _ in range(self.R):
+            for p in range(self.start_dilation, self.X):
+                blk = TCNBlock(
+                    conv_channels=self.conv_channels,
+                    kernel_size=self.kernel_size,
+                    dilation=2**p,
+                    norm=self.norm,
+                    causal=self.causal,
+                    skip_con=self.skip_con,
+                )
+                if self.skip_con:
+                    skip, x = blk(x)
+                    skip_sum = skip_sum + skip
+                else:
+                    x = blk(x)
+        return skip_sum if self.skip_con else x
+
+
+class MultiScaleEncoder(nn.Module):
+    """3 parallel learned conv encoders (short/middle/long filters).
+
+    cf. MultiEncoder (encoder.py:63-114): stride = L1//2 for all scales,
+    inputs right-padded so all scales produce the same n_frames.
+    Returns (bottleneck [B,T',B_ch], w1, w2, w3 [B,T',N]).
+    """
+
+    middle_channels: int = 256
+    out_channels: int = 256
+    L1: int = 20
+    L2: int = 80
+    L3: int = 160
+
+    @nn.compact
+    def __call__(self, x):
+        # x: [B, T] waveform
+        stride = self.L1 // 2
+        x = x[..., None]  # [B, T, 1]
+        t = x.shape[1]
+        n_frames = (t - self.L1) // stride + 1
+        w1 = nn.relu(
+            Conv1d(self.middle_channels, self.L1, stride=stride, name="enc_short")(x)
+        )
+        pad2 = (n_frames - 1) * stride + self.L2 - t
+        pad3 = (n_frames - 1) * stride + self.L3 - t
+        x2 = jnp.pad(x, ((0, 0), (0, max(pad2, 0)), (0, 0)))
+        x3 = jnp.pad(x, ((0, 0), (0, max(pad3, 0)), (0, 0)))
+        w2 = nn.relu(
+            Conv1d(self.middle_channels, self.L2, stride=stride, name="enc_middle")(x2)
+        )
+        w3 = nn.relu(
+            Conv1d(self.middle_channels, self.L3, stride=stride, name="enc_long")(x3)
+        )
+        cat = jnp.concatenate([w1, w2, w3], axis=-1)
+        e = ChannelLayerNorm()(cat)
+        e = Conv1d(self.out_channels, 1, name="proj")(e)
+        return e, w1, w2, w3
+
+
+class DeepEncoder(nn.Module):
+    """Strided conv + 4 dilated convs w/ PReLU (encoder.py:9-61)."""
+
+    out_channels: int
+    kernel_size: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = x[..., None]
+        y = Conv1d(self.out_channels, self.kernel_size, stride=self.stride)(x)
+        for d in (1, 2, 4, 8):
+            y = Conv1d(self.out_channels, 3, dilation=d, padding=d)(y)
+            y = PReLU()(y)
+        return y
+
+
+class ResBlockSpk(nn.Module):
+    """Pointwise residual block with BN + PReLU + maxpool3 (speaker.py:17-46)."""
+
+    out_dims: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        in_dims = x.shape[-1]
+        residual = x
+        y = Conv1d(self.out_dims, 1, use_bias=False)(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9)(y)
+        y = PReLU()(y)
+        y = Conv1d(self.out_dims, 1, use_bias=False)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9)(y)
+        if in_dims != self.out_dims:
+            residual = Conv1d(self.out_dims, 1, use_bias=False)(residual)
+        y = PReLU()(y + residual)
+        # MaxPool1d(3): non-overlapping window 3, floor division of length
+        t = y.shape[1] - y.shape[1] % 3
+        y = y[:, :t].reshape(y.shape[0], t // 3, 3, y.shape[-1]).max(axis=2)
+        return y
+
+
+class SpExSpeakerEncoder(nn.Module):
+    """SpEx+ speaker encoder over shared encoder features (speaker.py:48-64).
+
+    cLN -> 1x1 -> ResBlock(256) -> ResBlock(512) -> ResBlock(512) -> 1x1 ->
+    mean over time -> [B, E].
+    """
+
+    embed_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        y = ChannelLayerNorm()(x)
+        y = Conv1d(256, 1)(y)
+        y = ResBlockSpk(256)(y, train)
+        y = ResBlockSpk(512)(y, train)
+        y = ResBlockSpk(512)(y, train)
+        y = Conv1d(self.embed_dim, 1)(y)
+        return jnp.mean(y, axis=1)
+
+
+class ConvTasNet(nn.Module):
+    """SpEx+/ConvTasNet TSE model.
+
+    Hyperparameters mirror the reference constructor
+    (/root/reference/wesep/models/convtasnet.py:16-64); default config
+    matches confs/spexplus.yaml.
+    """
+
+    N: int = 256
+    L: int = 20
+    B: int = 256
+    H: int = 512
+    P: int = 3
+    X: int = 8
+    R: int = 4
+    spk_emb_dim: int = 256
+    norm: str = "gLN"
+    activate: str = "relu"
+    causal: bool = False
+    skip_con: bool = False
+    spk_fuse_type: str = "concatConv"
+    multi_fuse: bool = True
+    use_spk_transform: bool = False
+    encoder_type: str = "Multi"  # 'Multi' | 'Deep' | None
+    decoder_type: str = "Multi"
+    joint_training: bool = True
+    multi_task: bool = False
+    spks_in_train: int = 251
+    spk_feat: bool = False
+    feat_type: str = "consistent"
+
+    def _activation(self, x):
+        if self.activate == "relu":
+            return nn.relu(x)
+        if self.activate == "sigmoid":
+            return nn.sigmoid(x)
+        if self.activate == "softmax":
+            return nn.softmax(x, axis=0)
+        raise ValueError(self.activate)
+
+    @nn.compact
+    def __call__(self, mix, enroll, train: bool = True):
+        """mix: [B, T] wav. enroll: [B, T_e] wav (joint) or [B, E] embedding."""
+        spk_logits = None
+
+        w1 = w2 = w3 = enc_out = None
+        if self.encoder_type == "Multi":
+            encoder = MultiScaleEncoder(
+                middle_channels=self.N,
+                out_channels=self.B,
+                L1=self.L,
+                L2=80,
+                L3=160,
+                name="encoder",
+            )
+            e, w1, w2, w3 = encoder(mix)
+        else:
+            if self.encoder_type == "Deep":
+                encoder = DeepEncoder(self.N, self.L, self.L // 2, name="encoder")
+                apply_enc = encoder
+            else:
+                conv = Conv1d(self.N, self.L, stride=self.L // 2, name="encoder")
+                apply_enc = lambda w: nn.relu(conv(w[..., None]))  # noqa: E731
+            ln_s = ChannelLayerNorm(name="ln_s")
+            bottleneck = Conv1d(self.B, 1, name="bottleneck")
+            enc_out = apply_enc(mix)
+            e = bottleneck(ln_s(enc_out))
+
+        if self.joint_training:
+            if not self.spk_feat and self.feat_type == "consistent":
+                if self.encoder_type == "Multi":
+                    _, a1, a2, a3 = encoder(enroll)
+                    aux = jnp.concatenate([a1, a2, a3], axis=-1)
+                else:
+                    aux = bottleneck(ln_s(apply_enc(enroll)))
+                embed = SpExSpeakerEncoder(self.spk_emb_dim, name="spk_model")(
+                    aux, train
+                )
+            else:
+                raise NotImplementedError(
+                    "external speaker models attach via models.speaker registry"
+                )
+            if self.multi_task:
+                spk_logits = Dense(self.spks_in_train, name="pred_linear")(embed)
+        else:
+            embed = enroll  # pre-extracted embedding [B, E]
+
+        if self.use_spk_transform:
+            embed = SpeakerTransform(self.spk_emb_dim, name="spk_transform")(embed)
+
+        # --- separator with per-repeat fusion ---------------------------------
+        x = e
+        if self.multi_fuse:
+            for r in range(self.R):
+                if self.spk_fuse_type == "concatConv":
+                    x = FuseTCNBlock(
+                        conv_channels=self.H,
+                        kernel_size=self.P,
+                        norm=self.norm,
+                        causal=self.causal,
+                        name=f"fuse_{r}",
+                    )(x, embed)
+                    x = TCNStack(
+                        R=1,
+                        X=self.X,
+                        conv_channels=self.H,
+                        kernel_size=self.P,
+                        norm=self.norm,
+                        causal=self.causal,
+                        skip_con=self.skip_con,
+                        start_dilation=1,
+                        name=f"tcn_{r}",
+                    )(x)
+                else:
+                    x = SpeakerFuse(self.B, self.spk_fuse_type, name=f"fuse_{r}")(
+                        x, embed
+                    )
+                    x = PReLU(name=f"fuse_act_{r}")(x)
+                    x = get_norm(self.norm)(x)
+                    x = TCNStack(
+                        R=1,
+                        X=self.X,
+                        conv_channels=self.H,
+                        kernel_size=self.P,
+                        norm=self.norm,
+                        causal=self.causal,
+                        skip_con=self.skip_con,
+                        name=f"tcn_{r}",
+                    )(x)
+        else:
+            if self.spk_fuse_type == "concatConv":
+                x = FuseTCNBlock(
+                    conv_channels=self.H,
+                    kernel_size=self.P,
+                    norm=self.norm,
+                    causal=self.causal,
+                    name="fuse_0",
+                )(x, embed)
+            else:
+                x = SpeakerFuse(self.B, self.spk_fuse_type, name="fuse_0")(x, embed)
+                x = PReLU(name="fuse_act_0")(x)
+                x = get_norm(self.norm)(x)
+            x = TCNStack(
+                R=self.R,
+                X=self.X,
+                conv_channels=self.H,
+                kernel_size=self.P,
+                norm=self.norm,
+                causal=self.causal,
+                skip_con=self.skip_con,
+                name="tcn",
+            )(x)
+
+        # --- decoder ----------------------------------------------------------
+        t_len = mix.shape[-1]
+        if self.decoder_type == "Multi":
+            stride = self.L // 2
+            ests = []
+            for i, (w, k) in enumerate(((w1, self.L), (w2, 80), (w3, 160))):
+                m = self._activation(Conv1d(self.N, 1, name=f"mask_{i}")(x))
+                s = ConvTranspose1d(1, k, stride, name=f"dec_{i}")(w * m)[..., 0]
+                ests.append(s[..., :t_len])
+            # est2/est3 trimmed to est1's length (decoder.py:100-110)
+            min_len = min(e_.shape[-1] for e_ in ests)
+            est = [e_[..., :min_len] for e_ in ests]
+        else:
+            m = self._activation(Conv1d(self.N, 1, name="gen_masks")(x))
+            # single-scale path masks the raw encoder output (N channels)
+            masked = (w1 if self.encoder_type == "Multi" else enc_out) * m
+            est = ConvTranspose1d(1, self.L, self.L // 2, name="dec")(masked)[
+                ..., 0
+            ][..., :t_len]
+
+        return est, spk_logits
