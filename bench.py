@@ -1,0 +1,109 @@
+"""Benchmark: BSRNN training-step throughput on the current device.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: audio-seconds of mixture processed per wall-clock second by the
+full compiled training step (fwd + bwd + per-param clip + Adam) of the
+flagship BSRNN at the reference recipe's training envelope — batch 8,
+3 s chunks @16 kHz, feature_dim 128, num_repeat 6
+(examples/librimix/tse/v2/confs/bsrnn.yaml:2,14,46-56). The reference
+publishes no throughput numbers (BASELINE.md), so vs_baseline is the
+ratio to the pinned first-measurement value below (rounds must not
+regress it).
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# First recorded value on one TPU v5e chip (round 1). Later rounds compare
+# against this.
+BASELINE_AUDIO_SEC_PER_SEC = 48.0
+
+BATCH = 8
+CHUNK_SEC = 3.0
+SR = 16000
+
+
+def main():
+    from wesep_tpu.models.bsrnn import BSRNN
+    from wesep_tpu.train.losses import si_sdr_loss
+    from wesep_tpu.train.schedulers import exponential_decrease
+    from wesep_tpu.train.trainer import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    model = BSRNN(
+        spk_emb_dim=256,
+        sr=SR,
+        win=512,
+        stride=128,
+        feature_dim=128,
+        num_repeat=6,
+        use_spk_transform=False,
+        spk_fuse_type="multiply",
+        multi_fuse=False,
+        joint_training=False,
+    )
+    t = int(CHUNK_SEC * SR)
+    rng = np.random.default_rng(0)
+    batch = {
+        "wav_mix": jnp.asarray(
+            rng.standard_normal((BATCH, t)).astype(np.float32) * 0.1
+        ),
+        "wav_targets": jnp.asarray(
+            rng.standard_normal((BATCH, t)).astype(np.float32) * 0.1
+        ),
+        "spk_embeds": jnp.asarray(
+            rng.standard_normal((BATCH, 256)).astype(np.float32)
+        ),
+        "spk_label": jnp.zeros((BATCH,), jnp.int32),
+    }
+
+    sched = exponential_decrease(
+        num_epochs=150, epoch_iter=1000, initial_lr=1e-3, final_lr=2.5e-5,
+        warm_up_epoch=0,
+    )
+    optimizer = make_optimizer(sched, weight_decay=1e-4, clip_grad=5.0)
+    step = jax.jit(
+        make_train_step(model, optimizer, [si_sdr_loss]), donate_argnums=(0,)
+    )
+    state = init_train_state(model, jax.random.PRNGKey(0), batch, optimizer)
+
+    # warmup / compile. NOTE: through the axon relay block_until_ready does
+    # not reliably synchronize — fetching the scalar to host does.
+    state, metrics = step(state, batch)
+    float(metrics["loss"])
+    state, metrics = step(state, batch)
+    float(metrics["loss"])
+
+    n_steps = 10
+    start = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step(state, batch)
+    float(metrics["loss"])  # forces the whole dependency chain
+    elapsed = time.perf_counter() - start
+
+    audio_sec_per_sec = BATCH * CHUNK_SEC * n_steps / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "bsrnn_train_audio_sec_per_sec_1chip",
+                "value": round(audio_sec_per_sec, 2),
+                "unit": "audio_s/s",
+                "vs_baseline": round(
+                    audio_sec_per_sec / BASELINE_AUDIO_SEC_PER_SEC, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,231 @@
+"""Losses, schedulers, and the data-parallel train step (8-dev CPU mesh)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wesep_tpu.train.losses import (
+    ce_loss,
+    l1_loss,
+    multi_resolution_stft_loss,
+    parse_loss,
+    pit_si_snr_loss,
+    si_sdr,
+    si_sdr_loss,
+    snr_loss,
+    stft_loss,
+)
+from wesep_tpu.train.schedulers import exponential_decrease, triangular2
+
+torch = pytest.importorskip("torch")
+
+
+def test_si_sdr_matches_manual():
+    rng = np.random.default_rng(0)
+    ref = rng.standard_normal((3, 4000)).astype(np.float32)
+    est = ref + 0.1 * rng.standard_normal((3, 4000)).astype(np.float32)
+    got = np.asarray(si_sdr(jnp.asarray(est), jnp.asarray(ref)))
+    # manual numpy computation
+    r = ref - ref.mean(-1, keepdims=True)
+    e = est - est.mean(-1, keepdims=True)
+    dot = (e * r).sum(-1, keepdims=True)
+    s_t = dot * r / (r * r).sum(-1, keepdims=True)
+    want = 10 * np.log10((s_t**2).sum(-1) / ((e - s_t) ** 2).sum(-1))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+    # scale invariance
+    got2 = np.asarray(si_sdr(jnp.asarray(3.7 * est), jnp.asarray(ref)))
+    np.testing.assert_allclose(got, got2, rtol=1e-4)
+
+
+def test_ce_matches_torch():
+    rng = np.random.default_rng(1)
+    logits = rng.standard_normal((5, 11)).astype(np.float32)
+    labels = rng.integers(0, 11, size=(5,))
+    got = np.asarray(ce_loss(jnp.asarray(logits), jnp.asarray(labels)))
+    want = torch.nn.functional.cross_entropy(
+        torch.from_numpy(logits), torch.from_numpy(labels), reduction="none"
+    ).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_snr_and_stft_losses_sane():
+    rng = np.random.default_rng(2)
+    ref = rng.standard_normal((2, 8000)).astype(np.float32)
+    noisy = ref + 0.5 * rng.standard_normal((2, 8000)).astype(np.float32)
+    for fn in (snr_loss, si_sdr_loss, stft_loss, multi_resolution_stft_loss,
+               l1_loss):
+        close = np.asarray(fn(jnp.asarray(ref * 0.999), jnp.asarray(ref)))
+        far = np.asarray(fn(jnp.asarray(noisy), jnp.asarray(ref)))
+        assert close.shape == (2,)
+        assert np.all(close < far), fn.__name__
+
+
+def test_pit_picks_best_permutation():
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((2, 1000)).astype(np.float32)
+    b = rng.standard_normal((2, 1000)).astype(np.float32)
+    est = jnp.stack([jnp.asarray(b), jnp.asarray(a)], axis=1)  # swapped
+    ref = jnp.stack([jnp.asarray(a), jnp.asarray(b)], axis=1)
+    loss = np.asarray(pit_si_snr_loss(est, ref))
+    # the swapped permutation is perfect -> strongly negative (-SI-SDR)
+    assert np.all(loss < -50)
+
+
+def test_parse_loss_table():
+    fns = parse_loss(["SISDR", "CE"])
+    assert fns[0] is si_sdr_loss and fns[1] is ce_loss
+    assert parse_loss("SNR")[0] is snr_loss
+    with pytest.raises(ValueError):
+        parse_loss("nope")
+
+
+def test_exponential_decrease_matches_reference_formula():
+    sched = exponential_decrease(
+        num_epochs=150, epoch_iter=100, initial_lr=1e-3, final_lr=2.5e-5,
+        warm_up_epoch=0,
+    )
+    import math
+
+    for it in (0, 1, 7500, 14999):
+        want = 1e-3 * math.exp(it / 15000 * math.log(2.5e-5 / 1e-3))
+        np.testing.assert_allclose(float(sched(it)), want, rtol=1e-5)
+
+
+def test_triangular2_cycles():
+    sched = triangular2(
+        num_epochs=10, epoch_iter=10, initial_lr=1e-3, final_lr=1e-5,
+        warm_up_epoch=0, cycle_step=2,
+    )
+    lrs = [float(sched(i)) for i in range(40)]
+    assert abs(lrs[0] - 1e-5) < 1e-9
+    assert abs(lrs[10] - 1e-3) < 1e-9  # peak mid-cycle
+    # second cycle peak halves the gap
+    assert abs(lrs[30] - (1e-5 + (1e-3 - 1e-5) * 0.5)) < 1e-9
+
+
+def _tiny_model_and_batch():
+    from wesep_tpu.models.bsrnn import BSRNN
+
+    model = BSRNN(
+        spk_emb_dim=16,
+        feature_dim=8,
+        num_repeat=1,
+        joint_training=False,
+        use_spk_transform=False,
+        spk_fuse_type="multiply",
+        multi_fuse=False,
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "wav_mix": jnp.asarray(
+            rng.standard_normal((8, 4000)).astype(np.float32) * 0.1
+        ),
+        "wav_targets": jnp.asarray(
+            rng.standard_normal((8, 4000)).astype(np.float32) * 0.1
+        ),
+        "spk_embeds": jnp.asarray(
+            rng.standard_normal((8, 16)).astype(np.float32)
+        ),
+        "spk_label": jnp.zeros((8,), jnp.int32),
+    }
+    return model, batch
+
+
+def test_train_step_data_parallel_matches_single_device():
+    from jax.sharding import Mesh
+
+    from wesep_tpu.train.losses import si_sdr_loss
+    from wesep_tpu.train.schedulers import exponential_decrease
+    from wesep_tpu.train.trainer import (
+        init_train_state,
+        make_data_parallel,
+        make_optimizer,
+        make_train_step,
+        shard_batch,
+    )
+
+    model, batch = _tiny_model_and_batch()
+    sched = exponential_decrease(
+        num_epochs=2, epoch_iter=4, initial_lr=1e-3, final_lr=1e-4,
+        warm_up_epoch=0,
+    )
+    optimizer = make_optimizer(sched, weight_decay=1e-4, clip_grad=5.0)
+    step = make_train_step(model, optimizer, [si_sdr_loss])
+
+    state0 = init_train_state(
+        model, jax.random.PRNGKey(0), batch, optimizer
+    )
+
+    # single device
+    s1, m1 = jax.jit(step)(state0, batch)
+    losses_1dev = [float(m1["loss"])]
+    s1, m1 = jax.jit(step)(s1, batch)
+    losses_1dev.append(float(m1["loss"]))
+
+    # 8-device data parallel
+    assert len(jax.devices()) == 8
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("data",))
+    pstep = make_data_parallel(step, mesh, donate_state=False)
+    sharded = shard_batch(batch, mesh)
+    s8, m8 = pstep(state0, sharded)
+    np.testing.assert_allclose(float(m8["loss"]), losses_1dev[0], rtol=1e-5)
+    s8, m8 = pstep(s8, sharded)
+    np.testing.assert_allclose(float(m8["loss"]), losses_1dev[1], rtol=2e-4)
+    # params identical across paths
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l8 = jax.tree_util.tree_leaves(s8.params)
+    for a, b in zip(l1, l8):
+        # Adam's eps-divide amplifies reduction-order noise for tiny grads;
+        # allow a loose per-element tolerance
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-2, atol=2e-3
+        )
+    assert int(s8.step) == 2
+
+
+def test_multi_loss_weighting_and_ce_routing():
+    from wesep_tpu.train.losses import ce_loss, si_sdr_loss
+    from wesep_tpu.train.trainer import weighted_loss
+
+    rng = np.random.default_rng(0)
+    est = jnp.asarray(rng.standard_normal((4, 1000)).astype(np.float32))
+    ref = jnp.asarray(rng.standard_normal((4, 1000)).astype(np.float32))
+    logits = jnp.asarray(rng.standard_normal((4, 7)).astype(np.float32))
+    labels = jnp.asarray([0, 1, 2, 3])
+    total = weighted_loss(
+        (est, logits),
+        ref,
+        labels,
+        [si_sdr_loss, ce_loss],
+        loss_posi=[[0], [1]],
+        loss_weight=[[0.8], [0.5]],
+        multi_task=True,
+    )
+    want = 0.8 * float(jnp.mean(si_sdr_loss(est, ref))) + 0.5 * float(
+        jnp.mean(ce_loss(logits, labels))
+    )
+    np.testing.assert_allclose(float(total), want, rtol=1e-5)
+
+
+def test_checkpoint_roundtrip_and_average(tmp_path):
+    from wesep_tpu.train.checkpoint import (
+        average_checkpoints,
+        load_checkpoint,
+        load_pretrained_model,
+        save_checkpoint,
+    )
+
+    p1 = {"a": np.ones((3,), np.float32), "b": {"c": np.full((2,), 2.0, np.float32)}}
+    p2 = {"a": np.full((3,), 3.0, np.float32), "b": {"c": np.zeros((2,), np.float32)}}
+    f1, f2 = str(tmp_path / "checkpoint_1.ckpt"), str(tmp_path / "checkpoint_2.ckpt")
+    save_checkpoint(f1, [p1], step=10)
+    save_checkpoint(f2, [p2], step=20)
+    loaded = load_checkpoint(f1)
+    assert loaded["step"] == 10
+    got = load_pretrained_model(p1, f2)
+    np.testing.assert_allclose(got["a"], p2["a"])
+    avg = average_checkpoints([f1, f2])
+    np.testing.assert_allclose(avg["a"], np.full((3,), 2.0))
+    np.testing.assert_allclose(avg["b"]["c"], np.full((2,), 1.0))

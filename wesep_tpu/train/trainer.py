@@ -1,0 +1,252 @@
+"""Compiled training/eval steps + optimizer, data-parallel over a Mesh.
+
+TPU-native redesign of the reference Executor hot loop
+(/root/reference/wesep/utils/executor.py:27-203) and optimizer setup
+(/root/reference/wesep/bin/train.py:237-269):
+
+  * the whole batch step — forward, multi-loss weighting, backward,
+    per-parameter grad clip, Adam(+L2), LR schedule — is ONE jitted pure
+    function; nothing escapes to the host between batches;
+  * data parallelism is a `jax.sharding.Mesh` 'data' axis: the batch is
+    sharded, params/opt-state are replicated, and XLA inserts the gradient
+    all-reduce over ICI (replacing DDP/NCCL, reference train.py:66-70,226-229);
+  * the LR schedule is a pure fn of the step carried in the opt state
+    (replacing scheduler.step(cur_iter) per batch, executor.py:80-81);
+  * per-parameter clip matches reference clip_gradients
+    (/root/reference/wesep/utils/funcs.py:79-88): each tensor is clipped to
+    norm `clip` independently (NOT global-norm).
+
+Loss weighting follows the reference (loss_posi, loss_weight) 2-D table
+(executor.py:107-122): loss = sum_i sum_j w[i][j] * L_i(outputs[posi[i][j]],
+target-or-spk_label), with CE routed to spk_label when multi_task.
+"""
+
+from typing import Any, Callable, Optional, Sequence
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from wesep_tpu.train.losses import is_ce
+
+__all__ = [
+    "TrainState",
+    "per_param_clip",
+    "make_optimizer",
+    "make_train_step",
+    "make_eval_step",
+    "make_data_parallel",
+    "weighted_loss",
+]
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def per_param_clip(clip: float) -> optax.GradientTransformation:
+    """Clip every parameter's gradient to L2 norm `clip` independently."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def _clip(g):
+            norm = jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32))))
+            coef = jnp.minimum(clip / (norm + 1e-6), 1.0)
+            return (g * coef).astype(g.dtype)
+
+        return jax.tree_util.tree_map(_clip, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(
+    schedule: Callable,
+    weight_decay: float = 1e-4,
+    clip_grad: float = 5.0,
+    beta1: float = 0.9,
+    beta2: float = 0.999,
+    eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    """Adam with torch-style coupled L2 + reference per-param clip.
+
+    torch.optim.Adam(weight_decay=wd) adds wd*param to the RAW grad before
+    the moment updates; the reference clips before optimizer.step()
+    (executor.py:130-134), so the chain order is clip -> +wd*p -> adam -> lr.
+    """
+    chain = []
+    if clip_grad and clip_grad > 0:
+        chain.append(per_param_clip(clip_grad))
+    if weight_decay and weight_decay > 0:
+        chain.append(optax.add_decayed_weights(weight_decay))
+    chain.append(optax.scale_by_adam(b1=beta1, b2=beta2, eps=eps))
+    chain.append(optax.scale_by_learning_rate(schedule))
+    return optax.chain(*chain)
+
+
+def init_train_state(model, rng, example_batch, optimizer, train: bool = True):
+    """Initialize params/batch_stats/opt_state from an example batch."""
+    variables = model.init(
+        rng, example_batch["wav_mix"], example_batch["spk_embeds"], train=train
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", flax.core.FrozenDict())
+    opt_state = optimizer.init(params)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+    )
+
+
+def _flatten_outputs(outputs):
+    """Model returns (ests, spk_logits); flatten to an indexable list.
+
+    Multi-decoder models (SpEx+) return ests as a list [est1, est2, est3] so
+    positions 0..2 index the scales and 3 the spk logits, matching the
+    reference flat tuple + loss_posi tables (confs/spexplus.yaml:27-30).
+    """
+    ests, spk_logits = outputs
+    flat = list(ests) if isinstance(ests, (list, tuple)) else [ests]
+    flat.append(spk_logits)
+    return flat
+
+
+def weighted_loss(
+    outputs,
+    targets,
+    spk_label,
+    criterion: Sequence[Callable],
+    loss_posi: Sequence[Sequence[int]],
+    loss_weight: Sequence[Sequence[float]],
+    multi_task: bool = False,
+):
+    """The (loss_posi, loss_weight) double loop of executor.py:107-122."""
+    flat = _flatten_outputs(outputs)
+    total = 0.0
+    for i, crit in enumerate(criterion):
+        for j in range(len(loss_posi[i])):
+            out = flat[loss_posi[i][j]]
+            if multi_task and is_ce(crit):
+                total = total + loss_weight[i][j] * jnp.mean(
+                    crit(out, spk_label)
+                )
+            else:
+                total = total + loss_weight[i][j] * jnp.mean(
+                    crit(out, targets)
+                )
+    return total
+
+
+def make_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    criterion: Sequence[Callable],
+    loss_posi: Sequence[Sequence[int]] = ((0,),),
+    loss_weight: Sequence[Sequence[float]] = ((1.0,),),
+    multi_task: bool = False,
+    compute_dtype: Optional[jnp.dtype] = None,
+):
+    """Build the pure (state, batch) -> (state, metrics) train step."""
+
+    def train_step(state: TrainState, batch):
+        def loss_fn(params):
+            variables = {"params": params}
+            mutable = []
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            mix = batch["wav_mix"]
+            enroll = batch["spk_embeds"]
+            if compute_dtype is not None:
+                mix = mix.astype(compute_dtype)
+                enroll = enroll.astype(compute_dtype)
+            out = model.apply(
+                variables, mix, enroll, train=True, mutable=mutable
+            )
+            if mutable:
+                outputs, new_model_state = out
+                new_stats = new_model_state["batch_stats"]
+            else:
+                outputs, new_stats = out, state.batch_stats
+            loss = weighted_loss(
+                outputs,
+                batch["wav_targets"],
+                batch.get("spk_label"),
+                criterion,
+                loss_posi,
+                loss_weight,
+                multi_task,
+            )
+            return loss, new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        metrics = {"loss": loss}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, criterion: Sequence[Callable]):
+    """Validation step: criterion[0] on the primary output
+    (executor.py:154-203)."""
+
+    def eval_step(state: TrainState, batch):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        outputs = model.apply(
+            variables, batch["wav_mix"], batch["spk_embeds"], train=False
+        )
+        flat = _flatten_outputs(outputs)
+        loss = jnp.mean(criterion[0](flat[0], batch["wav_targets"]))
+        return {"loss": loss}
+
+    return eval_step
+
+
+def make_data_parallel(step_fn, mesh: Mesh, donate_state: bool = True):
+    """jit a (state, batch) step over the mesh 'data' axis.
+
+    Params/opt-state replicated, batch sharded on axis 0; XLA inserts the
+    gradient all-reduce over ICI (the DDP replacement).
+    """
+    replicated = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn,
+        in_shardings=(replicated, sharded),
+        out_shardings=None,
+        donate_argnums=(0,) if donate_state else (),
+    )
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch onto the mesh, sharded along axis 0."""
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )
