@@ -95,8 +95,12 @@ def make_optimizer(
 
 
 def init_train_state(model, rng, example_batch, optimizer, train: bool = True):
-    """Initialize params/batch_stats/opt_state from an example batch."""
-    variables = model.init(
+    """Initialize params/batch_stats/opt_state from an example batch.
+
+    init is jitted: un-compiled tracing dispatches thousands of tiny ops
+    (catastrophic through a remote-TPU relay).
+    """
+    variables = jax.jit(model.init, static_argnames=("train",))(
         rng, example_batch["wav_mix"], example_batch["spk_embeds"], train=train
     )
     params = variables["params"]
