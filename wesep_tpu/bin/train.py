@@ -1,0 +1,379 @@
+"""Training entry point: YAML-config driven, data-parallel over the mesh.
+
+Equivalent of /root/reference/wesep/bin/train.py (call stack SURVEY §3.1),
+TPU-native: one process per HOST drives all local devices through a
+jax.sharding.Mesh 'data' axis (replacing torchrun one-proc-per-GPU + DDP);
+multi-host via jax.distributed.initialize when WESEP_DIST=1.
+
+Usage:
+  python -m wesep_tpu.bin.train --config confs/bsrnn.yaml \
+      [--set key.sub=value ...] [--checkpoint path]
+"""
+
+import argparse
+import os
+from pprint import pformat
+
+import numpy as np
+
+
+def get_args():
+    parser = argparse.ArgumentParser(description="wesep-tpu train")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--checkpoint", default=None,
+                        help="resume from checkpoint_<N>.ckpt")
+    parser.add_argument(
+        "--set", dest="overrides", action="append", default=[],
+        metavar="KEY=VALUE", help="config overrides (dot paths)",
+    )
+    return parser.parse_args()
+
+
+def build_model(configs):
+    from wesep_tpu.models import get_model
+
+    model_name = configs["model"]["tse_model"]
+    model_args = dict(configs["model_args"]["tse_model"])
+    return get_model(model_name)(**model_args), model_name, model_args
+
+
+def load_enroll_maps(configs, joint_training, multi_task):
+    """Embeds/enrollment dict loading (reference train.py:113-147)."""
+    from wesep_tpu.utils.file_utils import (
+        load_speaker_embeddings,
+        read_label_file,
+        read_spk2enroll_json,
+        read_vec_scp_file,
+    )
+
+    dict_spk = {}
+    tr_spk_embeds = configs.get("train_spk_embeds", None)
+    tr_utt2spk = configs["train_utt2spk"]
+    if not joint_training and tr_spk_embeds:
+        tr_spk2embed_dict = load_speaker_embeddings(tr_spk_embeds, tr_utt2spk)
+    else:
+        tr_spk2embed_dict, dict_spk_all = read_spk2enroll_json(
+            configs["train_spk2utt"]
+        )
+        if multi_task:
+            dict_spk = dict_spk_all
+
+    with open(tr_utt2spk) as f:
+        n_train_utts = sum(1 for _ in f)
+
+    val_spk_embeds = configs.get("val_spk_embeds", None)
+    if not joint_training and val_spk_embeds:
+        val_spk2embed_dict = read_vec_scp_file(val_spk_embeds)
+    else:
+        val_spk2embed_dict = read_label_file(configs["val_spk2utt"])
+    val_spk1_embed = read_label_file(configs["val_spk1_enroll"])
+    val_spk2_embed = read_label_file(configs["val_spk2_enroll"])
+    return (tr_spk2embed_dict, dict_spk, n_train_utts, val_spk2embed_dict,
+            val_spk1_embed, val_spk2_embed)
+
+
+def train(config: str, checkpoint=None, overrides=None, **kwargs):
+    import jax
+    from jax.sharding import Mesh
+
+    from wesep_tpu.data import BatchLoader, Dataset, tse_collate_fn
+    from wesep_tpu.train.checkpoint import (
+        load_pretrained_model,
+        restore_train_state,
+        save_checkpoint,
+    )
+    from wesep_tpu.train.executor import Executor
+    from wesep_tpu.train.losses import parse_loss
+    from wesep_tpu.train.schedulers import get_scheduler
+    from wesep_tpu.train.trainer import (
+        init_train_state,
+        make_data_parallel,
+        make_eval_step,
+        make_optimizer,
+        make_train_step,
+        shard_batch,
+    )
+    from wesep_tpu.utils import setup_compilation_cache
+    from wesep_tpu.utils.config import (
+        deep_update,
+        parse_config_or_kwargs,
+        parse_override_args,
+        set_seed,
+        setup_logger,
+        table_row,
+    )
+
+    if os.environ.get("WESEP_DIST"):
+        jax.distributed.initialize()
+    setup_compilation_cache()
+
+    configs = parse_config_or_kwargs(config, **kwargs)
+    deep_update(configs, parse_override_args(overrides))
+    rank = jax.process_index()
+    world_size = jax.process_count()
+    n_local = jax.local_device_count()
+    n_devices = world_size * n_local
+
+    exp_dir = configs["exp_dir"]
+    model_dir = os.path.join(exp_dir, "models")
+    os.makedirs(model_dir, exist_ok=True)
+    logger = setup_logger(exp_dir, rank)
+    if rank == 0:
+        logger.info("exp_dir is: %s", exp_dir)
+        for line in pformat(configs).split("\n"):
+            logger.info(line)
+    set_seed(configs.get("seed", 42) + rank)
+
+    # loss
+    criterion = parse_loss(configs.get("loss", "SISDR"))
+    loss_args = configs.get("loss_args") or {}
+    loss_posi = loss_args.get("loss_posi", [[0]])
+    loss_weight = loss_args.get("loss_weight", [[1.0]])
+
+    joint_training = configs["model_args"]["tse_model"].get(
+        "joint_training", False
+    )
+    multi_task = configs["model_args"]["tse_model"].get("multi_task", False)
+
+    (tr_spk2embed_dict, dict_spk, n_train_utts, val_spk2embed_dict,
+     val_spk1_embed, val_spk2_embed) = load_enroll_maps(
+        configs, joint_training, multi_task
+    )
+
+    dataset_args = configs["dataset_args"]
+    train_dataset = Dataset(
+        configs["data_type"],
+        configs["train_data"],
+        dataset_args,
+        tr_spk2embed_dict,
+        None,
+        None,
+        state="train",
+        joint_training=joint_training,
+        dict_spk=dict_spk,
+        whole_utt=configs.get("whole_utt", False),
+        repeat_dataset=configs.get("repeat_dataset", True),
+        noise_prob=dataset_args.get("noise_prob", 0),
+        reverb_prob=dataset_args.get("reverb_prob", 0),
+        noise_enroll_prob=dataset_args.get("noise_enroll_prob", 0),
+        reverb_enroll_prob=dataset_args.get("reverb_enroll_prob", 0),
+        specaug_enroll_prob=dataset_args.get("specaug_enroll_prob", 0),
+        online_mix=dataset_args.get("online_mix", False),
+        noise_lmdb_file=dataset_args.get("noise_lmdb_file", None),
+        rank=rank,
+        world_size=world_size,
+    )
+    val_dataset = Dataset(
+        configs["data_type"],
+        configs["val_data"],
+        dataset_args,
+        val_spk2embed_dict,
+        val_spk1_embed,
+        val_spk2_embed,
+        state="val",
+        joint_training=joint_training,
+        whole_utt=configs.get("whole_utt", False),
+        repeat_dataset=True,
+        online_mix=False,
+        rank=rank,
+        world_size=world_size,
+    )
+
+    dataloader_args = dict(configs.get("dataloader_args", {}))
+    batch_size = dataloader_args.get("batch_size", 8)
+    # enrollment length fixed for static XLA shapes
+    enroll_len = dataset_args.get("enroll_len", None)
+    if enroll_len is None and joint_training:
+        sr = dataset_args.get("resample_rate", 16000)
+        if dataset_args.get("speaker_feat", False):
+            shift = dataset_args.get("fbank_args", {}).get("frame_shift", 10)
+            enroll_len = int(
+                dataset_args.get("enroll_sec", 6) * 1000 / shift
+            ) - 2
+        else:
+            enroll_len = int(dataset_args.get("enroll_sec", 6) * sr)
+
+    def collate(batch):
+        return tse_collate_fn(batch, fixed_enroll_len=enroll_len)
+
+    train_loader = BatchLoader(
+        train_dataset, batch_size=batch_size, collate_fn=collate,
+        drop_last=True, prefetch=dataloader_args.get("prefetch_factor", 4),
+    )
+    val_loader = BatchLoader(
+        val_dataset, batch_size=batch_size, collate_fn=collate,
+        drop_last=True, prefetch=2,
+    )
+
+    sample_num = dataset_args.get("sample_num_per_epoch", 0) or (
+        n_train_utts // 2
+    )
+    epoch_iter = max(sample_num // world_size // batch_size, 1)
+    val_iter = max(len(val_spk2embed_dict) // 2 // world_size // batch_size, 1)
+    if rank == 0:
+        logger.info("epoch iteration number: %d", epoch_iter)
+        logger.info("val iteration number: %d", val_iter)
+
+    # model / optimizer / scheduler
+    model, model_name, model_args = build_model(configs)
+    sched_args = dict(configs["scheduler_args"]["tse_model"])
+    sched_args["num_epochs"] = configs["num_epochs"]
+    sched_args["epoch_iter"] = epoch_iter
+    schedule = get_scheduler(configs["scheduler"]["tse_model"], **sched_args)
+    opt_args = configs.get("optimizer_args", {}).get("tse_model", {})
+    freeze = (
+        ("spk_model",)
+        if model_args.get("spk_model_freeze", False)
+        else ()
+    )
+    optimizer = make_optimizer(
+        schedule,
+        weight_decay=opt_args.get("weight_decay", 0.0),
+        clip_grad=configs.get("clip_grad", 5.0),
+        freeze_prefixes=freeze,
+    )
+
+    train_step = make_train_step(
+        model, optimizer, criterion, loss_posi, loss_weight, multi_task
+    )
+    eval_step = make_eval_step(model, criterion)
+
+    # peek one batch for init shapes
+    train_loader.set_epoch(0)
+    example_batch = next(iter(BatchLoader(
+        train_dataset, batch_size=batch_size, collate_fn=collate,
+        prefetch=0,
+    )))
+    example_batch = {
+        k: v for k, v in example_batch.items()
+        if isinstance(v, np.ndarray) and v.dtype != object
+    }
+    state = init_train_state(
+        model, jax.random.PRNGKey(configs.get("seed", 42)), example_batch,
+        optimizer,
+    )
+    if rank == 0:
+        n_params = sum(
+            int(np.prod(x.shape))
+            for x in jax.tree_util.tree_leaves(state.params)
+        )
+        logger.info("tse_model size: %.2f M", n_params / 1e6)
+
+    model_init = configs.get("model_init", {}).get("tse_model")
+    if model_init:
+        logger.info("Load initial model from %s", model_init)
+        state = state.replace(
+            params=load_pretrained_model(state.params, model_init)
+        )
+    start_epoch = 1
+    if checkpoint:
+        import re
+
+        state = restore_train_state(state, checkpoint)
+        m = re.findall(r"(?<=checkpoint_)\d+(?=\.ckpt)", checkpoint)
+        start_epoch = int(m[0]) + 1 if m else 1
+        logger.info("Load checkpoint: %s", checkpoint)
+    logger.info("start_epoch: %d", start_epoch)
+
+    if rank == 0:
+        import yaml
+
+        with open(os.path.join(exp_dir, "config.yaml"), "w") as fout:
+            fout.write(yaml.dump(configs))
+
+    # mesh + compiled steps; batch rows must divide over the data axis
+    n_rows = example_batch["wav_mix"].shape[0]
+    mesh_devices = n_devices
+    while n_rows % mesh_devices:
+        mesh_devices -= 1
+    if mesh_devices != n_devices and rank == 0:
+        logger.warning(
+            "batch rows %d not divisible by %d devices; using %d",
+            n_rows, n_devices, mesh_devices,
+        )
+    mesh = Mesh(
+        np.asarray(jax.devices()[:mesh_devices]).reshape(mesh_devices),
+        ("data",),
+    )
+    p_train = make_data_parallel(train_step, mesh, donate_state=True)
+    p_eval = jax.jit(eval_step)
+
+    def device_put_train(batch):
+        arrays = {
+            k: v for k, v in batch.items()
+            if isinstance(v, np.ndarray) and v.dtype.kind in "fiu"
+        }
+        return shard_batch(arrays, mesh)
+
+    executor = Executor()
+    train_losses, val_losses = [], []
+    if rank == 0:
+        logger.info(table_row(("Train/Val", "Epoch", "iter", "Loss", "rate")))
+    for epoch in range(start_epoch, configs["num_epochs"] + 1):
+        train_loader.set_epoch(epoch)
+        state, train_loss = executor.train(
+            train_loader, p_train, state, epoch_iter, epoch, logger,
+            configs.get("log_batch_interval", 100), device_put_train,
+        )
+        val_loss = executor.cv(
+            val_loader, p_eval, state, val_iter, epoch, logger,
+            configs.get("log_batch_interval", 100), device_put_train,
+        )
+        train_losses.append(train_loss)
+        val_losses.append(val_loss)
+        if rank == 0:
+            logger.info(
+                "Epoch %d train_loss %.4f val_loss %.4f",
+                epoch, train_loss, val_loss,
+            )
+            try:
+                import matplotlib
+
+                matplotlib.use("Agg")
+                import matplotlib.pyplot as plt
+
+                plt.figure()
+                plt.title("Loss of Train and Validation")
+                x = list(range(start_epoch, epoch + 1))
+                plt.plot(x, train_losses, "b-", label="Train Loss",
+                         linewidth=0.8)
+                plt.plot(x, val_losses, "c-", label="Validation Loss",
+                         linewidth=0.8)
+                plt.legend()
+                plt.xlabel("Epoch")
+                plt.ylabel("Loss")
+                plt.savefig(os.path.join(exp_dir, f"{model_name}.png"))
+                plt.close()
+            except Exception:
+                pass
+            if (
+                epoch % configs.get("save_epoch_interval", 1) == 0
+                or epoch >= configs["num_epochs"] - configs.get("num_avg", 2)
+            ):
+                ckpt_name = f"checkpoint_{epoch}.ckpt"
+                save_checkpoint(
+                    os.path.join(model_dir, ckpt_name),
+                    [state.params],
+                    [state.opt_state],
+                    [state.batch_stats],
+                    step=int(state.step),
+                )
+                latest = os.path.join(model_dir, "latest_checkpoint.ckpt")
+                if os.path.islink(latest) or os.path.exists(latest):
+                    os.remove(latest)
+                os.symlink(ckpt_name, latest)
+    if rank == 0:
+        final = os.path.join(model_dir, "final_checkpoint.ckpt")
+        if os.path.islink(final) or os.path.exists(final):
+            os.remove(final)
+        os.symlink(f"checkpoint_{configs['num_epochs']}.ckpt", final)
+    return state
+
+
+def main():
+    args = get_args()
+    train(args.config, checkpoint=args.checkpoint, overrides=args.overrides)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,16 @@
+from wesep_tpu.data.dataset import (
+    BatchLoader,
+    Dataset,
+    tse_collate_fn,
+    tse_collate_fn_2spk,
+)
+from wesep_tpu.data.datalist import DataList, read_lists
+
+__all__ = [
+    "BatchLoader",
+    "Dataset",
+    "tse_collate_fn",
+    "tse_collate_fn_2spk",
+    "DataList",
+    "read_lists",
+]

@@ -352,8 +352,8 @@ def sample_spk_embedding(data: Iterable[dict], spk_embeds: dict) -> Iterator[dic
     for sample in data:
         for key in list(sample.keys()):
             if key.startswith("spk"):
-                sample["embed_" + key] = random.choice(
-                    spk_embeds[sample[key]]
+                sample["embed_" + key] = np.atleast_2d(
+                    random.choice(spk_embeds[sample[key]])
                 )
         yield sample
 
@@ -366,7 +366,9 @@ def sample_fix_spk_embedding(
         for key in list(sample.keys()):
             if key.startswith("spk"):
                 emap = spk1_embed if key == "spk1" else spk2_embed
-                sample["embed_" + key] = spk2embed_dict[emap[sample["key"]]]
+                sample["embed_" + key] = np.atleast_2d(
+                    spk2embed_dict[emap[sample["key"]]]
+                )
         yield sample
 
 

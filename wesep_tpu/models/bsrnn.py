@@ -186,6 +186,10 @@ class BSRNN(nn.Module):
     spksInTrain: int = 251
     spk_model: Optional[str] = None
     spk_args: Optional[dict] = None
+    # accepted for config parity (bsrnn.py:169-171); init-from is handled by
+    # the train binary, freeze by an optimizer mask on 'spk_model/*'
+    spk_model_init: Optional[str] = None
+    spk_model_freeze: bool = False
     spk_feat: bool = False
     feat_type: str = "consistent"
     # rematerialize each separator repeat in backward (trades ~15% step time

@@ -30,6 +30,9 @@ __all__ = [
 
 
 def _to_host(tree):
+    # to_state_dict unwraps FrozenDict / optax NamedTuples into plain
+    # containers that msgpack can serialize
+    tree = serialization.to_state_dict(tree)
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 

@@ -1,0 +1,81 @@
+"""Epoch-level train/validation driver around the compiled steps.
+
+Equivalent of the reference Executor (/root/reference/wesep/utils/
+executor.py:27-203) with the TPU-native split: the per-batch math lives in
+the jitted step (trainer.py); this class only feeds batches, paces logging,
+and aggregates losses. Loss scalars are fetched lazily (only at log
+points) so the device pipeline never stalls on the host.
+"""
+
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from wesep_tpu.utils.config import table_row
+
+__all__ = ["Executor"]
+
+
+class Executor:
+    def __init__(self):
+        self.step = 0
+
+    def train(
+        self,
+        dataloader,
+        train_step: Callable,
+        state,
+        epoch_iter: int,
+        epoch: int,
+        logger=None,
+        log_batch_interval: int = 100,
+        device_put: Optional[Callable] = None,
+    ):
+        """One training epoch -> (state, avg_loss)."""
+        losses = []
+        t0 = time.time()
+        for i, batch in enumerate(dataloader):
+            if device_put is not None:
+                batch = device_put(batch)
+            state, metrics = train_step(state, batch)
+            losses.append(metrics["loss"])
+            self.step += 1
+            if logger and (i + 1) % log_batch_interval == 0:
+                avg = float(np.mean([float(l) for l in losses]))
+                rate = (i + 1) / (time.time() - t0)
+                logger.info(
+                    table_row(
+                        ("TRAIN", epoch, i + 1, avg, f"{rate:.2f}it/s")
+                    )
+                )
+            if (i + 1) == epoch_iter:
+                break
+        avg = float(np.mean([float(l) for l in losses])) if losses else 0.0
+        return state, avg
+
+    def cv(
+        self,
+        dataloader,
+        eval_step: Callable,
+        state,
+        val_iter: int,
+        epoch: int,
+        logger=None,
+        log_batch_interval: int = 100,
+        device_put: Optional[Callable] = None,
+    ):
+        """Validation epoch -> avg loss on criterion[0]
+        (executor.py:154-203)."""
+        losses = []
+        for i, batch in enumerate(dataloader):
+            if device_put is not None:
+                batch = device_put(batch)
+            metrics = eval_step(state, batch)
+            losses.append(metrics["loss"])
+            if logger and (i + 1) % log_batch_interval == 0:
+                avg = float(np.mean([float(l) for l in losses]))
+                logger.info(table_row(("VAL", epoch, i + 1, avg, "-")))
+            if (i + 1) == val_iter:
+                break
+        return float(np.mean([float(l) for l in losses])) if losses else 0.0

@@ -77,12 +77,16 @@ def make_optimizer(
     beta1: float = 0.9,
     beta2: float = 0.999,
     eps: float = 1e-8,
+    freeze_prefixes: Sequence[str] = (),
 ) -> optax.GradientTransformation:
     """Adam with torch-style coupled L2 + reference per-param clip.
 
     torch.optim.Adam(weight_decay=wd) adds wd*param to the RAW grad before
     the moment updates; the reference clips before optimizer.step()
     (executor.py:130-134), so the chain order is clip -> +wd*p -> adam -> lr.
+
+    freeze_prefixes: top-level param-tree keys to freeze (zero updates) —
+    the spk_model_freeze path (reference bsrnn.py:228-230).
     """
     chain = []
     if clip_grad and clip_grad > 0:
@@ -91,7 +95,18 @@ def make_optimizer(
         chain.append(optax.add_decayed_weights(weight_decay))
     chain.append(optax.scale_by_adam(b1=beta1, b2=beta2, eps=eps))
     chain.append(optax.scale_by_learning_rate(schedule))
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if freeze_prefixes:
+        def label_fn(params):
+            return {
+                k: ("frozen" if k in freeze_prefixes else "train")
+                for k in params.keys()
+            }
+
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, label_fn
+        )
+    return tx
 
 
 def init_train_state(model, rng, example_batch, optimizer, train: bool = True):
