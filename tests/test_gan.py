@@ -1,0 +1,92 @@
+"""CMGAN discriminator + MetricGAN train step."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def test_discriminator_shapes_and_range():
+    from wesep_tpu.models.discriminator import CMGANDiscriminator
+
+    d = CMGANDiscriminator()
+    rng = np.random.default_rng(0)
+    ref = jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32))
+    est = jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32))
+    k = jax.random.PRNGKey(0)
+    variables = d.init(
+        {"params": k, "dropout": jax.random.PRNGKey(1)}, ref, est, train=True
+    )
+    score, _ = d.apply(variables, ref, est, train=True,
+                       mutable=["batch_stats"],
+                       rngs={"dropout": jax.random.PRNGKey(2)})
+    assert score.shape == (2, 1)
+    assert bool(jnp.all((score >= 0) & (score <= 1)))
+
+
+def test_gan_train_step_losses_decrease():
+    from wesep_tpu.models.bsrnn import BSRNN
+    from wesep_tpu.models.discriminator import CMGANDiscriminator
+    from wesep_tpu.train.losses import si_sdr_loss
+    from wesep_tpu.train.schedulers import exponential_decrease
+    from wesep_tpu.train.trainer import init_train_state, make_optimizer
+    from wesep_tpu.train.trainer_gan import make_gan_train_step
+
+    gen = BSRNN(
+        spk_emb_dim=16, feature_dim=8, num_repeat=1, joint_training=False,
+        use_spk_transform=False, spk_fuse_type="multiply", multi_fuse=False,
+        remat=False,
+    )
+    disc = CMGANDiscriminator(hid_chans=4, num_conv_blocks=4)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "wav_mix": jnp.asarray(
+            rng.standard_normal((2, 4000)).astype(np.float32) * 0.1
+        ),
+        "wav_targets": jnp.asarray(
+            rng.standard_normal((2, 4000)).astype(np.float32) * 0.1
+        ),
+        "spk_embeds": jnp.asarray(
+            rng.standard_normal((2, 16)).astype(np.float32)
+        ),
+        "spk_label": jnp.zeros((2,), jnp.int32),
+    }
+    sched = exponential_decrease(
+        num_epochs=1, epoch_iter=10, initial_lr=1e-3, final_lr=1e-4,
+        warm_up_epoch=0,
+    )
+    g_opt = make_optimizer(sched)
+    d_opt = make_optimizer(sched)
+
+    g_state = init_train_state(gen, jax.random.PRNGKey(0), batch, g_opt)
+    d_vars = disc.init(
+        {"params": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)},
+        batch["wav_targets"], batch["wav_mix"], train=True,
+    )
+    from wesep_tpu.train.trainer import TrainState
+
+    d_state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=d_vars["params"],
+        batch_stats=d_vars.get("batch_stats", {}),
+        opt_state=d_opt.init(d_vars["params"]),
+    )
+
+    step = jax.jit(
+        make_gan_train_step(
+            gen, disc, g_opt, d_opt, [si_sdr_loss],
+            gan_loss_weight=0.05,
+        )
+    )
+    states = (g_state, d_state)
+    ms = []
+    for _ in range(4):
+        states, m = step(states, batch)
+        ms.append({k: float(v) for k, v in m.items()})
+    for m in ms:
+        assert np.isfinite(m["loss"]) and np.isfinite(m["d_loss"])
+    # generator SE loss decreases over steps
+    assert ms[-1]["se_loss"] < ms[0]["se_loss"]
+    assert int(states[0].step) == 4 and int(states[1].step) == 4

@@ -222,7 +222,7 @@ def train(config: str, checkpoint=None, overrides=None, **kwargs):
     schedule = get_scheduler(configs["scheduler"]["tse_model"], **sched_args)
     opt_args = configs.get("optimizer_args", {}).get("tse_model", {})
     freeze = (
-        ("spk_model",)
+        ("spk_model_net",)
         if model_args.get("spk_model_freeze", False)
         else ()
     )

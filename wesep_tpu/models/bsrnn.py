@@ -24,10 +24,11 @@ wav [B, T_e] (joint_training + feat_type='consistent').
 
 Per-band channel ordering matches the reference exactly
 ([re_0..re_bw, im_0..im_bw] per band; mask channels (2, 2, bw)) so weights
-are portable.
+are portable. The separator is factored so BSRNN_Multi (SSA,
+bsrnn_multi_optim.py) can run it twice with shared parameters.
 """
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -201,33 +202,56 @@ class BSRNN(nn.Module):
     def enc_dim(self):
         return self.win // 2 + 1
 
-    def _spk_embedding(self, enroll, train: bool):
-        """Enrollment -> speaker embedding (+ optional CE logits).
+    def _spec_map(self) -> int:
+        """Input channels per frequency bin (2 = RI; BSRNN_Feats adds a
+        spectral tf-map channel, bsrnn_feats.py:304-306)."""
+        return 2
 
-        Reference bsrnn.py:341-357: (no-grad) preemph+melspec+log-mean-norm
-        when fed raw wav; then the speaker model; then the CE head.
-        """
-        spk_logits = None
+    def setup(self):
+        groups = band_layout(self.sr, self.enc_dim)
+        self.groups = groups
+        self.bn_norm = [
+            GroupedBandNorm(n, self._spec_map() * bw) for n, bw in groups
+        ]
+        self.bn_proj = [
+            GroupedBandDense(n, self.feature_dim) for n, _ in groups
+        ]
+        n_fuse = self.num_repeat if self.multi_fuse else 1
+        self.fuse = [
+            SpeakerFuse(self.feature_dim, self.spk_fuse_type)
+            for _ in range(n_fuse)
+        ]
+        bsnet_cls = nn.remat(BSNet) if self.remat else BSNet
+        self.bsnet = [
+            bsnet_cls(self.feature_dim, self.use_bidirectional)
+            for _ in range(self.num_repeat)
+        ]
+        self.mask_norm = [
+            GroupedBandNorm(n, self.feature_dim) for n, _ in groups
+        ]
+        self.mask_fc1 = [
+            GroupedBandDense(n, self.feature_dim * 4) for n, _ in groups
+        ]
+        self.mask_fc2 = [
+            GroupedBandDense(n, self.feature_dim * 4) for n, _ in groups
+        ]
+        self.mask_out = [
+            GroupedBandDense(n, bw * 4) for n, bw in groups
+        ]
+        if self.use_spk_transform:
+            self.spk_transform = SpeakerTransform(self.spk_emb_dim)
         if self.joint_training:
-            feats = enroll
-            if not self.spk_feat and self.feat_type == "consistent":
-                feats = jax.lax.stop_gradient(
-                    self._consistent_feats(enroll)
-                )
             from wesep_tpu.models.speaker import get_speaker_model
 
-            spk_cls = get_speaker_model(self.spk_model)
             args = dict(self.spk_args or {})
             args.pop("feat_dim", None)
-            embed = spk_cls(name="spk_model", **args)(feats, train=train)
-            if isinstance(embed, (tuple, list)):
-                embed = embed[-1]
+            # attribute name becomes the param scope ('spk_model' is taken
+            # by the config field; optimizer freeze masks use 'spk_model_net')
+            self.spk_model_net = get_speaker_model(self.spk_model)(**args)
             if self.multi_task:
-                spk_logits = Dense(self.spksInTrain, name="pred_linear")(embed)
-        else:
-            embed = enroll
-        return embed, spk_logits
+                self.pred_linear = Dense(self.spksInTrain)
 
+    # --- enrollment branch (bsrnn.py:341-357) ----------------------------
     def _consistent_feats(self, wav):
         """PreEmphasis -> MelSpectrogram -> log -> mean-norm -> [B, T', M]."""
         from wesep_tpu.ops.fbank import speaker_feat
@@ -241,71 +265,80 @@ class BSRNN(nn.Module):
             n_mels=n_mels,
         )
 
-    @nn.compact
-    def __call__(self, mix, enroll, train: bool = True):
-        b, nsample = mix.shape
-        groups = band_layout(self.sr, self.enc_dim)
-        nband = sum(n for n, _ in groups)
-        window = hann_window(self.win)
+    def _spk_embedding(self, enroll, train: bool, from_waveform: bool = False):
+        """enroll (wav/fbank/embedding) -> (embedding, spk_logits)."""
+        spk_logits = None
+        if self.joint_training:
+            feats = enroll
+            if from_waveform or (
+                not self.spk_feat and self.feat_type == "consistent"
+            ):
+                feats = jax.lax.stop_gradient(self._consistent_feats(enroll))
+            embed = self.spk_model_net(feats, train=train)
+            if isinstance(embed, (tuple, list)):
+                embed = embed[-1]
+            if self.multi_task:
+                spk_logits = self.pred_linear(embed)
+        else:
+            embed = enroll
+        if self.use_spk_transform:
+            embed = self.spk_transform(embed)
+        return embed, spk_logits
 
-        re, im = stft(mix, self.win, self.stride, window=window)  # [B,T',F]
+    # --- band split / separation / reconstruction ------------------------
+    def _band_split(self, re, im, extra=None):
+        """[B,T,F] spec -> (bottleneck feats [B,nband,T,N],
+        sub specs [(re,im) [B,n,T,bw] per group]).
 
-        # --- band split + per-band norm/bottleneck (grouped) --------------
+        `extra` (optional [B,T,F]) is appended as a third per-band channel
+        block (the BSRNN_Feats tf-map, bsrnn_feats.py:494-516)."""
+        b, t_frames, _ = re.shape
         feats = []
-        sub_specs = []  # [(re, im) [B, n, T, bw] per group]
+        sub_specs = []
         f0 = 0
-        for gi, (n, bw) in enumerate(groups):
-            t_frames = re.shape[1]
-            re_g = re[..., f0 : f0 + n * bw].reshape(b, t_frames, n, bw)
-            im_g = im[..., f0 : f0 + n * bw].reshape(b, t_frames, n, bw)
-            re_g = jnp.swapaxes(re_g, 1, 2)  # [B, n, T, bw]
-            im_g = jnp.swapaxes(im_g, 1, 2)
+        for gi, (n, bw) in enumerate(self.groups):
+            def slice_g(a):
+                g = a[..., f0 : f0 + n * bw].reshape(b, t_frames, n, bw)
+                return jnp.swapaxes(g, 1, 2)  # [B, n, T, bw]
+
+            re_g, im_g = slice_g(re), slice_g(im)
             sub_specs.append((re_g, im_g))
-            x = jnp.concatenate([re_g, im_g], axis=-1)  # [B, n, T, 2bw]
-            x = GroupedBandNorm(n, 2 * bw, name=f"bn_norm_{gi}")(x)
-            x = GroupedBandDense(n, self.feature_dim, name=f"bn_proj_{gi}")(x)
+            parts = [re_g, im_g]
+            if extra is not None:
+                parts.append(slice_g(extra))
+            x = jnp.concatenate(parts, axis=-1)  # [B, n, T, spec_map*bw]
+            x = self.bn_norm[gi](x)
+            x = self.bn_proj[gi](x)
             feats.append(x)
             f0 += n * bw
-        x = jnp.concatenate(feats, axis=1)  # [B, nband, T, N]
+        return jnp.concatenate(feats, axis=1), sub_specs
 
-        # --- speaker embedding -------------------------------------------
-        embed, spk_logits = self._spk_embedding(enroll, train)
-        if self.use_spk_transform:
-            embed = SpeakerTransform(self.spk_emb_dim, name="spk_transform")(
-                embed
-            )
-
-        # --- separator (FuseSeparation, bsrnn.py:86-148) ------------------
-        bsnet_cls = nn.remat(BSNet) if self.remat else BSNet
+    def _separate(self, feats, sub_specs, embed, nsample, window):
+        """Separator repeats + per-band complex masking + iSTFT -> [B, T]."""
+        x = feats
         if self.multi_fuse:
             for r in range(self.num_repeat):
-                x = SpeakerFuse(
-                    self.feature_dim, self.spk_fuse_type, name=f"fuse_{r}"
-                )(x, embed)
-                x = bsnet_cls(
-                    self.feature_dim, self.use_bidirectional, name=f"bsnet_{r}"
-                )(x)
+                x = self.fuse[r](x, embed)
+                x = self.bsnet[r](x)
         else:
-            x = SpeakerFuse(
-                self.feature_dim, self.spk_fuse_type, name="fuse_0"
-            )(x, embed)
+            x = self.fuse[0](x, embed)
             for r in range(self.num_repeat):
-                x = bsnet_cls(
-                    self.feature_dim, self.use_bidirectional, name=f"bsnet_{r}"
-                )(x)
+                x = self.bsnet[r](x)
 
-        # --- per-band mask MLP + complex masking (bsrnn.py:271-282,365-380)
-        est_re_parts = []
-        est_im_parts = []
+        return self._mask_reconstruct(x, sub_specs, nsample, window)
+
+    def _mask_reconstruct(self, x, sub_specs, nsample, window):
+        """Per-band tanh-gated complex masks + reassembly + iSTFT
+        (bsrnn.py:271-282, 365-389). x: [B, nband, T, N]."""
+        b, _, t_frames, _ = x.shape
+        est_re_parts, est_im_parts = [], []
         band0 = 0
-        for gi, (n, bw) in enumerate(groups):
+        for gi, (n, bw) in enumerate(self.groups):
             xg = x[:, band0 : band0 + n]  # [B, n, T, N]
-            y = GroupedBandNorm(n, self.feature_dim, name=f"mask_norm_{gi}")(xg)
-            y = GroupedBandDense(n, self.feature_dim * 4, name=f"mask_fc1_{gi}")(y)
-            y = jnp.tanh(y)
-            y = GroupedBandDense(n, self.feature_dim * 4, name=f"mask_fc2_{gi}")(y)
-            y = jnp.tanh(y)
-            y = GroupedBandDense(n, bw * 4, name=f"mask_out_{gi}")(y)
+            y = self.mask_norm[gi](xg)
+            y = jnp.tanh(self.mask_fc1[gi](y))
+            y = jnp.tanh(self.mask_fc2[gi](y))
+            y = self.mask_out[gi](y)
             # channel layout (2, 2, bw): [gate, filter] x [real, imag]
             y = y.reshape(y.shape[:3] + (2, 2, bw))
             m = y[..., 0, :, :] * jax.nn.sigmoid(y[..., 1, :, :])
@@ -314,24 +347,27 @@ class BSRNN(nn.Module):
             est_re_parts.append(s_re * m_re - s_im * m_im)
             est_im_parts.append(s_re * m_im + s_im * m_re)
             band0 += n
-        t_frames = re.shape[1]
 
         def merge(parts):
-            # [B, n, T, bw] per group -> [B, T, F]
             cols = [
                 jnp.swapaxes(p, 1, 2).reshape(b, t_frames, -1) for p in parts
             ]
             return jnp.concatenate(cols, axis=-1)
 
-        est_re = merge(est_re_parts)
-        est_im = merge(est_im_parts)
-
-        s = istft(
-            est_re,
-            est_im,
+        return istft(
+            merge(est_re_parts),
+            merge(est_im_parts),
             self.win,
             self.stride,
             window=window,
             length=nsample,
         )
+
+    def __call__(self, mix, enroll, train: bool = True):
+        b, nsample = mix.shape
+        window = hann_window(self.win)
+        re, im = stft(mix, self.win, self.stride, window=window)  # [B,T,F]
+        feats, sub_specs = self._band_split(re, im)
+        embed, spk_logits = self._spk_embedding(enroll, train)
+        s = self._separate(feats, sub_specs, embed, nsample, window)
         return s, spk_logits

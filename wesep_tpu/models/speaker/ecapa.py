@@ -100,8 +100,15 @@ class ECAPA_TDNN(nn.Module):
     global_context_att: bool = True
 
     @nn.compact
-    def __call__(self, feats, train: bool = True):
-        """feats: [B, T, F_mel] -> embedding [B, embed_dim]."""
+    def __call__(self, feats, train: bool = True,
+                 return_frame_feats: bool = False):
+        """feats: [B, T, F_mel] -> embedding [B, embed_dim].
+
+        return_frame_feats=True instead returns the frame-level features
+        [B, T, channels] before aggregation (the `_get_frame_level_feat`
+        hook BSRNN_Feats' cross-attention fusion consumes —
+        /root/reference/wesep/models/bsrnn_feats.py:532-534).
+        """
         x = Conv1d(self.channels, 5, padding=2, name="layer1")(feats)
         x = nn.relu(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -112,6 +119,8 @@ class ECAPA_TDNN(nn.Module):
                 self.channels, 3, dil, 8, name=f"layer{i + 2}"
             )(x, train)
             outs.append(x)
+        if return_frame_feats:
+            return outs[-1]  # [B, T, channels]
         cat = jnp.concatenate(outs, axis=-1)
         x = Conv1d(1536, 1, name="conv_agg")(cat)
         x = nn.relu(x)

@@ -1,0 +1,359 @@
+"""TF-GridNet(V2) target-speaker extraction, channels-last TPU layout.
+
+Functional redesign of /root/reference/wesep/models/tfgridnet.py and
+/root/reference/wesep/modules/tfgridnet/gridnet_block.py (ESPnet
+TFGridNetV2 port). Feature maps are [B, T, Q, C] (channels last); the
+intra/inter BiLSTMs run as fused lax.scan kernels over folded batches
+([B*T, Q-frames] and [B*Q, T-frames]); the frame-level self-attention is a
+plain batched matmul softmax (T x T) on the MXU.
+
+This is the model the reference flags "extremely slow" (README.md:41) and
+the designated multi-chip sharding target (SURVEY §5): the folded LSTM
+batch and the attention batch dims shard cleanly over a model axis.
+"""
+
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from wesep_tpu.models.common import Dense, LSTM, SpeakerFuse, SpeakerTransform
+from wesep_tpu.ops.init import torch_linear_init
+from wesep_tpu.ops.stft import hamming_window, hann_window, istft, stft
+
+__all__ = ["TFGridNet"]
+
+
+class GridNetBlock(nn.Module):
+    """Intra-freq BiLSTM + inter-time BiLSTM + full-band self-attention
+    (gridnet_block.py:26-227). x: [B, T, Q, C]."""
+
+    emb_dim: int
+    emb_ks: int
+    emb_hs: int
+    n_freqs: int
+    hidden: int
+    n_head: int = 4
+    approx_qk_dim: int = 512
+    eps: float = 1e-5
+
+    def _unfold(self, x):
+        """[B', L, C] -> [B', n_frames, C*emb_ks] with torch F.unfold
+        channel-major ordering (c * emb_ks + k)."""
+        bsz, length, c = x.shape
+        n_frames = (length - self.emb_ks) // self.emb_hs + 1
+        import numpy as np
+
+        idx = (
+            np.arange(n_frames)[:, None] * self.emb_hs
+            + np.arange(self.emb_ks)[None, :]
+        )
+        frames = x[:, idx]  # [B', n_frames, emb_ks, C]
+        frames = jnp.swapaxes(frames, -1, -2)  # [B', n_frames, C, emb_ks]
+        return frames.reshape(bsz, n_frames, c * self.emb_ks)
+
+    def _rnn_branch(self, x, name):
+        """LayerNorm -> unfold -> BiLSTM -> deconv1d -> residual over the
+        middle axis of [B', L, C]."""
+        inp = x
+        y = nn.LayerNorm(epsilon=self.eps, name=f"{name}_norm")(x)
+        if self.emb_ks == self.emb_hs:
+            bsz, length, c = y.shape
+            y = y.reshape(bsz, length // self.emb_ks, self.emb_ks * c)
+            y = LSTM(self.hidden, name=f"{name}_rnn")(y)
+            y = Dense(self.emb_ks * c, name=f"{name}_linear")(y)
+            y = y.reshape(bsz, length, c)
+        else:
+            y = self._unfold(y)  # [B', n_frames, C*ks]
+            y = LSTM(self.hidden, name=f"{name}_rnn")(y)
+            init = torch_linear_init(self.emb_dim * self.emb_ks)
+            y = nn.ConvTranspose(
+                self.emb_dim,
+                (self.emb_ks,),
+                strides=(self.emb_hs,),
+                padding="VALID",
+                transpose_kernel=True,
+                kernel_init=init,
+                bias_init=init,
+                name=f"{name}_linear",
+            )(y)  # [B', L, C]
+        return y + inp
+
+    @nn.compact
+    def __call__(self, x):
+        b, old_t, old_q, c = x.shape
+        olp = self.emb_ks - self.emb_hs
+        T = (
+            math.ceil((old_t + 2 * olp - self.emb_ks) / self.emb_hs)
+            * self.emb_hs
+            + self.emb_ks
+        )
+        Q = (
+            math.ceil((old_q + 2 * olp - self.emb_ks) / self.emb_hs)
+            * self.emb_hs
+            + self.emb_ks
+        )
+        x = jnp.pad(
+            x,
+            ((0, 0), (olp, T - old_t - olp), (olp, Q - old_q - olp), (0, 0)),
+        )
+
+        # intra (frequency) RNN: fold B*T
+        y = x.reshape(b * T, Q, c)
+        y = self._rnn_branch(y, "intra")
+        y = y.reshape(b, T, Q, c)
+
+        # inter (time) RNN: fold B*Q
+        z = jnp.swapaxes(y, 1, 2).reshape(b * Q, T, c)
+        z = self._rnn_branch(z, "inter")
+        z = jnp.swapaxes(z.reshape(b, Q, T, c), 1, 2)  # [B, T, Q, C]
+
+        z = z[:, olp : olp + old_t, olp : olp + old_q]  # crop padding
+
+        # --- full-band frame-level self-attention ------------------------
+        e_dim = math.ceil(self.approx_qk_dim / self.n_freqs)
+        h, v_dim = self.n_head, self.emb_dim // self.n_head
+
+        def qkv(inp, out_per_head, tag):
+            y = Dense(self.n_head * out_per_head, name=f"attn_conv_{tag}")(
+                inp
+            )  # [B, T, Q, H*E] (1x1 conv)
+            y = y.reshape(b, old_t, old_q, self.n_head, out_per_head)
+            # -> [B, H, E, T, Q] (torch norm layout)
+            y = jnp.transpose(y, (0, 3, 4, 1, 2))
+            # AllHeadPReLULayerNormalization4DCF: per-head PReLU then
+            # normalize over (E, Q) per (B, H, T), affine [H, E, Q]
+            alpha = self.param(
+                f"attn_norm_{tag}_prelu",
+                lambda k, s: jnp.full(s, 0.25),
+                (self.n_head,),
+            )
+            a = alpha[None, :, None, None, None]
+            y = jnp.where(y >= 0, y, a * y)
+            gamma = self.param(
+                f"attn_norm_{tag}_scale",
+                nn.initializers.ones,
+                (self.n_head, out_per_head, self.n_freqs),
+            )
+            beta = self.param(
+                f"attn_norm_{tag}_bias",
+                nn.initializers.zeros,
+                (self.n_head, out_per_head, self.n_freqs),
+            )
+            y32 = y.astype(jnp.float32)
+            mu = jnp.mean(y32, axis=(2, 4), keepdims=True)
+            std = jnp.sqrt(
+                jnp.var(y32, axis=(2, 4), keepdims=True) + self.eps
+            )
+            y = ((y32 - mu) / std) * gamma[None, :, :, None, :] + beta[
+                None, :, :, None, :
+            ]
+            return y.astype(inp.dtype)  # [B, H, E, T, Q]
+
+        q = qkv(z, e_dim, "Q")
+        k = qkv(z, e_dim, "K")
+        v = qkv(z, v_dim, "V")
+
+        # [B,H,E,T,Q] -> [B*H, T, E*Q]
+        def flat(t5, d):
+            y = jnp.transpose(t5, (0, 1, 3, 2, 4))  # [B,H,T,E,Q]
+            return y.reshape(b * h, old_t, d * old_q)
+
+        q2 = flat(q, e_dim)
+        k2 = flat(k, e_dim)
+        v2 = flat(v, v_dim)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(q2.shape[-1], jnp.float32))
+        attn = jnp.einsum(
+            "btd,bsd->bts", q2, k2, preferred_element_type=jnp.float32
+        ) * scale
+        attn = jax.nn.softmax(attn, axis=-1).astype(v2.dtype)
+        out = jnp.einsum(
+            "bts,bsd->btd", attn, v2, preferred_element_type=jnp.float32
+        ).astype(v2.dtype)  # [B*H, T, V*Q]
+
+        out = out.reshape(b, h, old_t, v_dim, old_q)
+        # concat heads back to channel dim: [B, T, Q, H*V] with head-major
+        # channel order (matches torch view([B, H*V, T, Q]))
+        out = jnp.transpose(out, (0, 2, 4, 1, 3)).reshape(
+            b, old_t, old_q, h * v_dim
+        )
+
+        # attn_concat_proj: 1x1 conv -> PReLU -> LayerNormalization4DCF
+        out = Dense(self.emb_dim, name="attn_proj")(out)
+        alpha = self.param(
+            "attn_proj_prelu", lambda k, s: jnp.full(s, 0.25), (1,)
+        )
+        out = jnp.where(out >= 0, out, alpha * out)
+        gamma = self.param(
+            "attn_proj_norm_scale",
+            nn.initializers.ones,
+            (self.emb_dim, self.n_freqs),
+        )
+        beta = self.param(
+            "attn_proj_norm_bias",
+            nn.initializers.zeros,
+            (self.emb_dim, self.n_freqs),
+        )
+        # normalize over (C, Q) per (B, T); x layout [B, T, Q, C],
+        # affine [C, Q] -> broadcast as [1, 1, Q, C]
+        o32 = out.astype(jnp.float32)
+        mu = jnp.mean(o32, axis=(2, 3), keepdims=True)
+        std = jnp.sqrt(jnp.var(o32, axis=(2, 3), keepdims=True) + self.eps)
+        out = ((o32 - mu) / std) * gamma.T[None, None] + beta.T[None, None]
+        out = out.astype(z.dtype)
+
+        return out + z
+
+
+class TFGridNet(nn.Module):
+    """Reference constructor parity (tfgridnet.py:79-196)."""
+
+    n_srcs: int = 1
+    sr: int = 16000
+    n_fft: int = 128
+    stride: int = 64
+    window: str = "hann"
+    n_imics: int = 1
+    n_layers: int = 6
+    lstm_hidden_units: int = 192
+    attn_n_head: int = 4
+    attn_approx_qk_dim: int = 512
+    emb_dim: int = 48
+    emb_ks: int = 4
+    emb_hs: int = 1
+    activation: str = "prelu"
+    eps: float = 1e-5
+    spk_emb_dim: int = 256
+    use_spk_transform: bool = False
+    spk_fuse_type: str = "multiply"
+    joint_training: bool = True
+    multi_task: bool = False
+    spksInTrain: int = 251
+    spk_model: Optional[str] = None
+    spk_model_init: Optional[str] = None
+    spk_model_freeze: bool = False
+    spk_args: Optional[dict] = None
+    spk_feat: bool = False
+    feat_type: str = "consistent"
+    # remat each block in backward (same HBM rationale as BSRNN.remat)
+    remat: bool = True
+
+    def _spk_embedding(self, enroll, train: bool):
+        spk_logits = None
+        if self.joint_training:
+            feats = enroll
+            if not self.spk_feat and self.feat_type == "consistent":
+                from wesep_tpu.ops.fbank import speaker_feat
+
+                n_mels = (self.spk_args or {}).get("feat_dim", 80)
+                feats = jax.lax.stop_gradient(
+                    speaker_feat(
+                        enroll,
+                        sample_rate=self.sr,
+                        n_fft=self.n_fft,
+                        hop_length=self.stride,
+                        n_mels=n_mels,
+                    )
+                )
+            from wesep_tpu.models.speaker import get_speaker_model
+
+            args = dict(self.spk_args or {})
+            args.pop("feat_dim", None)
+            embed = get_speaker_model(self.spk_model)(
+                name="spk_model", **args
+            )(feats, train=train)
+            if isinstance(embed, (tuple, list)):
+                embed = embed[-1]
+            if self.multi_task:
+                spk_logits = Dense(self.spksInTrain, name="pred_linear")(embed)
+        else:
+            embed = enroll
+        return embed, spk_logits
+
+    @nn.compact
+    def __call__(self, mix, enroll, train: bool = True):
+        b, nsample = mix.shape
+        n_freqs = self.n_fft // 2 + 1
+
+        # RMS normalization (torch.std is Bessel-corrected, tfgridnet.py:220)
+        mix_std = jnp.std(
+            mix.astype(jnp.float32), axis=1, keepdims=True, ddof=1
+        ).astype(mix.dtype)
+        x = mix / mix_std
+
+        window = (
+            hann_window(self.n_fft)
+            if self.window == "hann"
+            else hamming_window(self.n_fft)
+        )
+        re, im = stft(x, self.n_fft, self.stride, window=window)  # [B,T,F]
+        feat = jnp.stack([re, im], axis=-1)  # [B, T, F, 2]
+
+        init0 = torch_linear_init(2 * 3 * 3)
+        y = nn.Conv(
+            self.emb_dim, (3, 3), padding=[(1, 1), (1, 1)],
+            kernel_init=init0, bias_init=init0, name="conv",
+        )(feat)
+        # GroupNorm(1, emb): over (T, F, C) per sample, per-channel affine
+        gamma = self.param(
+            "conv_norm_scale", nn.initializers.ones, (self.emb_dim,)
+        )
+        beta = self.param(
+            "conv_norm_bias", nn.initializers.zeros, (self.emb_dim,)
+        )
+        y32 = y.astype(jnp.float32)
+        mu = jnp.mean(y32, axis=(1, 2, 3), keepdims=True)
+        var = jnp.var(y32, axis=(1, 2, 3), keepdims=True)
+        y = ((y32 - mu) * jax.lax.rsqrt(var + self.eps) * gamma + beta
+             ).astype(y.dtype)
+
+        embed, spk_logits = self._spk_embedding(enroll, train)
+        if self.use_spk_transform:
+            embed = SpeakerTransform(self.spk_emb_dim, name="spk_transform")(
+                embed
+            )
+
+        fuse = SpeakerFuse(n_freqs, self.spk_fuse_type, name="spk_fuse")
+        block_cls = nn.remat(GridNetBlock) if self.remat else GridNetBlock
+        for i in range(self.n_layers):
+            # fuse over the freq dim: [B,T,Q,C] -> [B,T,C,Q] -> fuse -> back
+            yp = jnp.swapaxes(y, 2, 3)
+            yp = fuse(yp, embed)
+            y = jnp.swapaxes(yp, 2, 3)
+            y = block_cls(
+                self.emb_dim,
+                self.emb_ks,
+                self.emb_hs,
+                n_freqs,
+                self.lstm_hidden_units,
+                self.attn_n_head,
+                self.attn_approx_qk_dim,
+                self.eps,
+                name=f"block_{i}",
+            )(y)
+
+        init_d = torch_linear_init(self.n_srcs * 2 * 3 * 3)
+        y = nn.ConvTranspose(
+            self.n_srcs * 2, (3, 3), padding="VALID", transpose_kernel=True,
+            kernel_init=init_d, bias_init=init_d, name="deconv",
+        )(y)
+        t_frames = feat.shape[1]
+        y = y[:, 1 : 1 + t_frames, 1 : 1 + n_freqs]  # torch padding (1,1)
+
+        y = y.reshape(b, t_frames, n_freqs, self.n_srcs, 2)
+        est_re = jnp.transpose(y[..., 0], (0, 3, 1, 2)).reshape(
+            b * self.n_srcs, t_frames, n_freqs
+        )
+        est_im = jnp.transpose(y[..., 1], (0, 3, 1, 2)).reshape(
+            b * self.n_srcs, t_frames, n_freqs
+        )
+        s = istft(
+            est_re, est_im, self.n_fft, self.stride, window=window,
+            length=nsample,
+        )
+        s = s.reshape(b, self.n_srcs, nsample) * mix_std[:, None]
+        if self.n_srcs == 1:
+            s = s[:, 0]
+        return s, spk_logits
