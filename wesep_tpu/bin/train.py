@@ -234,7 +234,11 @@ def train(config: str, checkpoint=None, overrides=None, **kwargs):
     )
 
     train_step = make_train_step(
-        model, optimizer, criterion, loss_posi, loss_weight, multi_task
+        model, optimizer, criterion, loss_posi, loss_weight, multi_task,
+        ssa_enroll_prob=dataset_args.get("SSA_enroll_prob", 0),
+        ssa_speaker_feat=dataset_args.get("speaker_feat", True),
+        fbank_args=dataset_args.get("fbank_args"),
+        sample_rate=dataset_args.get("resample_rate", 16000),
     )
     eval_step = make_eval_step(model, criterion)
 

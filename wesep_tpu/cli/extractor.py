@@ -1,0 +1,148 @@
+"""`wesep` CLI: extract the target speaker from a mixture.
+
+Equivalent of /root/reference/wesep/cli/extractor.py:18-199 on the TPU
+stack: loads config.yaml + avg_model.ckpt from a model dir (or the Hub),
+optional energy-VAD trimming of the enrollment, resampling, fbank when the
+model expects speaker features, jitted forward, peak normalization, wav
+output.
+
+  wesep-tpu mixture.wav enrollment.wav -o out.wav [--model_dir DIR]
+"""
+
+import os
+
+import numpy as np
+import yaml
+
+__all__ = ["Extractor", "main"]
+
+
+class Extractor:
+    def __init__(self, model_dir: str):
+        import jax
+
+        from wesep_tpu.models import get_model
+        from wesep_tpu.train.checkpoint import load_checkpoint
+        from wesep_tpu.utils import setup_compilation_cache
+        from wesep_tpu.utils.config import set_seed
+
+        setup_compilation_cache()
+        set_seed()
+        config_path = os.path.join(model_dir, "config.yaml")
+        model_path = os.path.join(model_dir, "avg_model.ckpt")
+        with open(config_path) as fin:
+            configs = yaml.safe_load(fin)
+        model_args = dict(configs["model_args"]["tse_model"])
+        model_args.pop("spk_model_init", None)
+        self.model = get_model(configs["model"]["tse_model"])(**model_args)
+        bundle = load_checkpoint(model_path)
+        self.variables = {"params": bundle["models"][0]}
+        if bundle.get("batch_stats") and bundle["batch_stats"][0]:
+            self.variables["batch_stats"] = bundle["batch_stats"][0]
+
+        self.resample_rate = configs["dataset_args"].get(
+            "resample_rate", 16000
+        )
+        self.apply_vad = False
+        self.wavform_norm = True
+        self.output_norm = True
+        self.speaker_feat = model_args.get("spk_feat", False)
+        self.joint_training = model_args.get("joint_training", False)
+        self._jit_forward = jax.jit(
+            lambda v, m, e: self.model.apply(v, m, e, train=False)[0]
+        )
+
+    def set_wavform_norm(self, wavform_norm: bool):
+        self.wavform_norm = wavform_norm
+
+    def set_resample_rate(self, resample_rate: int):
+        self.resample_rate = resample_rate
+
+    def set_vad(self, apply_vad: bool):
+        self.apply_vad = apply_vad
+
+    def set_output_norm(self, output_norm: bool):
+        self.output_norm = output_norm
+
+    def compute_fbank(self, wav: np.ndarray, sample_rate: int = 16000):
+        import jax.numpy as jnp
+
+        from wesep_tpu.ops.fbank import apply_cmvn, kaldi_fbank
+
+        feats = kaldi_fbank(
+            jnp.asarray(wav), sample_rate=sample_rate,
+            input_scale=32768.0,
+        )
+        return np.asarray(apply_cmvn(feats))
+
+    def extract_speech(self, audio_path: str, audio_path_2: str):
+        from wesep_tpu.data.wav_io import read_wav
+
+        pcm_mix, sr_mix = read_wav(audio_path)
+        pcm_enroll, sr_enroll = read_wav(audio_path_2)
+        return self.extract_speech_from_pcm(
+            pcm_mix, sr_mix, pcm_enroll, sr_enroll
+        )
+
+    def extract_speech_from_pcm(
+        self, pcm_mix, sr_mix, pcm_enroll, sr_enroll
+    ):
+        import jax.numpy as jnp
+
+        from wesep_tpu.data.processor import _resample_wav
+        from wesep_tpu.data.vad import trim_silence
+
+        mix = np.asarray(pcm_mix)[0]
+        enroll = np.asarray(pcm_enroll)[0]
+        if self.apply_vad:
+            enroll = trim_silence(enroll, sr_enroll)
+        if sr_mix != self.resample_rate:
+            mix = _resample_wav(mix[None], sr_mix, self.resample_rate)[0]
+        if sr_enroll != self.resample_rate:
+            enroll = _resample_wav(
+                enroll[None], sr_enroll, self.resample_rate
+            )[0]
+
+        if self.joint_training and self.speaker_feat:
+            cue = self.compute_fbank(enroll, self.resample_rate)[None]
+        elif self.joint_training:
+            cue = enroll[None]
+        else:
+            raise ValueError(
+                "pre-extracted-embedding models need an embedding input; "
+                "use a joint-training model with the CLI"
+            )
+        est = np.asarray(
+            self._jit_forward(
+                self.variables, jnp.asarray(mix[None]), jnp.asarray(cue)
+            )
+        )[0]
+        if self.output_norm:
+            est = est / np.max(np.abs(est)) * 0.9
+        return est, self.resample_rate
+
+
+def main():
+    from wesep_tpu.cli.utils import get_args
+
+    args = get_args()
+    if args.pretrain == "":
+        from wesep_tpu.cli.hub import Hub
+
+        model_dir = Hub.get_model(args.language)
+    else:
+        model_dir = args.pretrain
+    extractor = Extractor(model_dir)
+    extractor.set_vad(args.vad)
+    extractor.set_output_norm(args.output_norm)
+    if args.resample_rate:
+        extractor.set_resample_rate(args.resample_rate)
+    est, sr = extractor.extract_speech(args.audio_file, args.audio_file2)
+    from wesep_tpu.data.wav_io import write_wav
+
+    write_wav(args.output_file, est, sr)
+    print(f"wrote {args.output_file}")
+
+
+if __name__ == "__main__":
+    main()

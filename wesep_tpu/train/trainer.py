@@ -176,18 +176,31 @@ def make_train_step(
     loss_weight: Sequence[Sequence[float]] = ((1.0,),),
     multi_task: bool = False,
     compute_dtype: Optional[jnp.dtype] = None,
+    ssa_enroll_prob: float = 0.0,
+    ssa_speaker_feat: bool = True,
+    fbank_args: Optional[dict] = None,
+    sample_rate: int = 16000,
 ):
-    """Build the pure (state, batch) -> (state, metrics) train step."""
+    """Build the pure (state, batch) -> (state, metrics) train step.
+
+    ssa_enroll_prob > 0 enables single-optimization Self-estimated Speech
+    Augmentation (reference executor.py:89-102): with that probability per
+    batch, a no-grad forward produces an estimate which (optionally
+    fbank'd) replaces the enrollment for the grad forward; lowered as a
+    lax.cond so only the selected branch executes on device.
+    """
 
     def train_step(state: TrainState, batch):
-        def loss_fn(params):
+        def _forward(params, enroll, keep_stats=True):
+            """keep_stats=False discards BN-stat updates (the SSA no-grad
+            pre-pass; torch would update them, we keep the grad pass
+            authoritative)."""
             variables = {"params": params}
             mutable = []
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
                 mutable = ["batch_stats"]
             mix = batch["wav_mix"]
-            enroll = batch["spk_embeds"]
             if compute_dtype is not None:
                 mix = mix.astype(compute_dtype)
                 enroll = enroll.astype(compute_dtype)
@@ -196,19 +209,62 @@ def make_train_step(
             )
             if mutable:
                 outputs, new_model_state = out
-                new_stats = new_model_state["batch_stats"]
-            else:
-                outputs, new_stats = out, state.batch_stats
-            loss = weighted_loss(
-                outputs,
-                batch["wav_targets"],
-                batch.get("spk_label"),
-                criterion,
-                loss_posi,
-                loss_weight,
-                multi_task,
+                stats = (
+                    new_model_state["batch_stats"]
+                    if keep_stats
+                    else state.batch_stats
+                )
+                return outputs, stats
+            return out, state.batch_stats
+
+        def _ssa_enroll(params):
+            """No-grad estimate -> (fbank'd) enrollment
+            (executor.py:91-99)."""
+            outputs, _ = _forward(params, batch["spk_embeds"],
+                                  keep_stats=False)
+            est = outputs[0]
+            if isinstance(est, (list, tuple)):
+                est = est[0]
+            est = jax.lax.stop_gradient(est)
+            if ssa_speaker_feat:
+                from wesep_tpu.ops.fbank import apply_cmvn, kaldi_fbank
+
+                fa = fbank_args or {}
+                feats = kaldi_fbank(
+                    est,
+                    sample_rate=sample_rate,
+                    num_mel_bins=fa.get("num_mel_bins", 80),
+                    frame_length_ms=fa.get("frame_length", 25),
+                    frame_shift_ms=fa.get("frame_shift", 10),
+                    dither=0.0,
+                    input_scale=32768.0,
+                )
+                return apply_cmvn(feats)
+            return est
+
+        def loss_fn(params):
+            def _loss_with(enroll):
+                outputs, new_stats = _forward(params, enroll)
+                loss = weighted_loss(
+                    outputs,
+                    batch["wav_targets"],
+                    batch.get("spk_label"),
+                    criterion,
+                    loss_posi,
+                    loss_weight,
+                    multi_task,
+                )
+                return loss, new_stats
+
+            if ssa_enroll_prob <= 0:
+                return _loss_with(batch["spk_embeds"])
+            rng = jax.random.fold_in(jax.random.PRNGKey(11), state.step)
+            do_ssa = jax.random.uniform(rng) < ssa_enroll_prob
+            return jax.lax.cond(
+                do_ssa,
+                lambda: _loss_with(_ssa_enroll(params)),
+                lambda: _loss_with(batch["spk_embeds"]),
             )
-            return loss, new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
