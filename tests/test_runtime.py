@@ -1,0 +1,127 @@
+"""C++ serving runtime: build, unit tests, and end-to-end separate_main."""
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+import yaml
+
+import jax
+import jax.numpy as jnp
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RUNTIME = os.path.join(REPO, "runtime")
+
+
+@pytest.fixture(scope="module")
+def runtime_build(tmp_path_factory):
+    if shutil.which("cmake") is None or shutil.which("g++") is None:
+        pytest.skip("no C++ toolchain")
+    build = str(tmp_path_factory.mktemp("rt_build"))
+    cfg = subprocess.run(
+        ["cmake", "-B", build, "-S", RUNTIME, "-G", "Ninja"]
+        if shutil.which("ninja")
+        else ["cmake", "-B", build, "-S", RUNTIME],
+        capture_output=True, text=True,
+    )
+    if cfg.returncode != 0:
+        pytest.skip(f"cmake configure failed: {cfg.stderr[-500:]}")
+    bld = subprocess.run(
+        ["cmake", "--build", build], capture_output=True, text=True
+    )
+    assert bld.returncode == 0, bld.stderr[-2000:]
+    return build
+
+
+def test_runtime_unit_tests(runtime_build):
+    r = subprocess.run(
+        [os.path.join(runtime_build, "runtime_test")],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "ALL RUNTIME TESTS PASSED" in r.stdout
+
+
+def test_separate_main_end_to_end(runtime_build, tmp_path):
+    from wesep_tpu.data.wav_io import write_wav
+    from wesep_tpu.models.bsrnn import BSRNN
+    from wesep_tpu.train.checkpoint import save_checkpoint
+
+    # joint speaker-feat BSRNN model dir
+    model = BSRNN(
+        spk_emb_dim=32, feature_dim=8, num_repeat=1, joint_training=True,
+        use_spk_transform=False, spk_fuse_type="multiply", multi_fuse=False,
+        spk_model="ResNet18",
+        spk_args={"feat_dim": 80, "embed_dim": 32, "two_emb_layer": False},
+        spk_feat=True, remat=False,
+    )
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), jnp.zeros((2, 4000)), jnp.zeros((2, 50, 80)),
+        train=False,
+    )
+    model_dir = str(tmp_path / "mdl")
+    os.makedirs(model_dir)
+    save_checkpoint(
+        os.path.join(model_dir, "avg_model.ckpt"), [variables["params"]],
+        batch_stats=[variables.get("batch_stats", {})],
+    )
+    config = {
+        "model": {"tse_model": "BSRNN"},
+        "model_args": {"tse_model": {
+            "spk_emb_dim": 32, "feature_dim": 8, "num_repeat": 1,
+            "joint_training": True, "use_spk_transform": False,
+            "spk_fuse_type": "multiply", "multi_fuse": False,
+            "spk_model": "ResNet18",
+            "spk_args": {"feat_dim": 80, "embed_dim": 32,
+                         "two_emb_layer": False},
+            "spk_feat": True, "remat": False,
+        }},
+        "dataset_args": {"resample_rate": 16000},
+    }
+    with open(os.path.join(model_dir, "config.yaml"), "w") as f:
+        yaml.dump(config, f)
+
+    sr, t = 16000, 8000
+    ts = np.arange(t) / sr
+    mix = (0.4 * np.sin(2 * np.pi * 440 * ts)
+           + 0.3 * np.sin(2 * np.pi * 1000 * ts)).astype(np.float32)
+    e1 = (0.4 * np.sin(2 * np.pi * 440 * np.arange(6000) / sr)).astype(
+        np.float32
+    )
+    e2 = (0.3 * np.sin(2 * np.pi * 1000 * np.arange(6000) / sr)).astype(
+        np.float32
+    )
+    write_wav(str(tmp_path / "mix.wav"), mix, sr)
+    write_wav(str(tmp_path / "e1.wav"), e1, sr)
+    write_wav(str(tmp_path / "e2.wav"), e2, sr)
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir)
+
+    import site
+
+    site_dirs = ":".join(p for p in site.getsitepackages())
+    env = dict(os.environ)
+    env["WESEP_PYTHONPATH"] = f"{REPO}:{site_dirs}"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["WESEP_JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [
+            os.path.join(runtime_build, "separate_main"),
+            "--model_path", model_dir,
+            "--wav_path", str(tmp_path / "mix.wav"),
+            "--spk1_enroll", str(tmp_path / "e1.wav"),
+            "--spk2_enroll", str(tmp_path / "e2.wav"),
+            "--result_dir", out_dir,
+        ],
+        capture_output=True, text=True, env=env, timeout=500,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "RTF" in r.stdout
+    from wesep_tpu.data.wav_io import read_wav
+
+    for i in (1, 2):
+        wav, osr = read_wav(os.path.join(out_dir, f"utt-spk{i}.wav"))
+        assert osr == sr and wav.shape[1] == t
+        assert np.isfinite(wav).all()
