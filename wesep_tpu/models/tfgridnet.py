@@ -26,6 +26,25 @@ from wesep_tpu.ops.stft import hamming_window, hann_window, istft, stft
 __all__ = ["TFGridNet"]
 
 
+def _shard_folded(x, enable: bool):
+    """Sequence-parallel sharding hint: the folded batch dim (B*T or B*Q
+    or B*heads) spreads over ('data', 'model'). Intra-frame LSTMs carry no
+    cross-frame state and inter-frame LSTMs no cross-frequency state, so
+    the model axis shards them with zero intra-op communication; XLA
+    inserts the reshard collectives at fold boundaries (SURVEY §5: the
+    TF-GridNet multi-chip target)."""
+    if not enable:
+        return x
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        return jax.lax.with_sharding_constraint(
+            x, P(("data", "model"), *([None] * (x.ndim - 1)))
+        )
+    except (ValueError, RuntimeError):
+        return x  # no mesh in scope (single-device run)
+
+
 class GridNetBlock(nn.Module):
     """Intra-freq BiLSTM + inter-time BiLSTM + full-band self-attention
     (gridnet_block.py:26-227). x: [B, T, Q, C]."""
@@ -38,6 +57,7 @@ class GridNetBlock(nn.Module):
     n_head: int = 4
     approx_qk_dim: int = 512
     eps: float = 1e-5
+    shard_model_axis: bool = False
 
     def _unfold(self, x):
         """[B', L, C] -> [B', n_frames, C*emb_ks] with torch F.unfold
@@ -100,13 +120,15 @@ class GridNetBlock(nn.Module):
             ((0, 0), (olp, T - old_t - olp), (olp, Q - old_q - olp), (0, 0)),
         )
 
-        # intra (frequency) RNN: fold B*T
+        # intra (frequency) RNN: fold B*T, sequence-sharded over the mesh
         y = x.reshape(b * T, Q, c)
+        y = _shard_folded(y, self.shard_model_axis)
         y = self._rnn_branch(y, "intra")
         y = y.reshape(b, T, Q, c)
 
         # inter (time) RNN: fold B*Q
         z = jnp.swapaxes(y, 1, 2).reshape(b * Q, T, c)
+        z = _shard_folded(z, self.shard_model_axis)
         z = self._rnn_branch(z, "inter")
         z = jnp.swapaxes(z.reshape(b, Q, T, c), 1, 2)  # [B, T, Q, C]
 
@@ -161,9 +183,10 @@ class GridNetBlock(nn.Module):
             y = jnp.transpose(t5, (0, 1, 3, 2, 4))  # [B,H,T,E,Q]
             return y.reshape(b * h, old_t, d * old_q)
 
-        q2 = flat(q, e_dim)
-        k2 = flat(k, e_dim)
-        v2 = flat(v, v_dim)
+        # heads fold into the batch dim -> head-parallel attention
+        q2 = _shard_folded(flat(q, e_dim), self.shard_model_axis)
+        k2 = _shard_folded(flat(k, e_dim), self.shard_model_axis)
+        v2 = _shard_folded(flat(v, v_dim), self.shard_model_axis)
         scale = 1.0 / jnp.sqrt(jnp.asarray(q2.shape[-1], jnp.float32))
         attn = jnp.einsum(
             "btd,bsd->bts", q2, k2, preferred_element_type=jnp.float32
@@ -239,6 +262,8 @@ class TFGridNet(nn.Module):
     feat_type: str = "consistent"
     # remat each block in backward (same HBM rationale as BSRNN.remat)
     remat: bool = True
+    # shard the folded LSTM/attention batch dims over a mesh 'model' axis
+    shard_model_axis: bool = False
 
     def _spk_embedding(self, enroll, train: bool):
         spk_logits = None
@@ -331,6 +356,7 @@ class TFGridNet(nn.Module):
                 self.attn_n_head,
                 self.attn_approx_qk_dim,
                 self.eps,
+                self.shard_model_axis,
                 name=f"block_{i}",
             )(y)
 
