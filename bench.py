@@ -6,10 +6,11 @@ Metric: audio-seconds of mixture processed per wall-clock second by the
 full compiled training step (fwd + bwd + per-param clip + Adam) of the
 flagship BSRNN at the reference recipe's training envelope — batch 8,
 3 s chunks @16 kHz, feature_dim 128, num_repeat 6
-(examples/librimix/tse/v2/confs/bsrnn.yaml:2,14,46-56). The reference
-publishes no throughput numbers (BASELINE.md), so vs_baseline is the
-ratio to the pinned first-measurement value below (rounds must not
-regress it).
+(examples/librimix/tse/v2/confs/bsrnn.yaml:2,14,46-56) — in the
+production training configuration (bf16 compute, f32 params/accum,
+Pallas LSTM kernels). The reference publishes no throughput numbers
+(BASELINE.md), so vs_baseline is the ratio to the pinned
+first-measurement value below (f32 lax.scan, round-1 day 1).
 """
 
 import json
@@ -20,8 +21,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# First recorded value on one TPU v5e chip (round 1). Later rounds compare
-# against this.
+# First recorded value on one TPU v5e chip (round 1, f32 + lax.scan
+# recurrence). Later measurements compare against this.
 BASELINE_AUDIO_SEC_PER_SEC = 48.0
 
 BATCH = 8
@@ -30,6 +31,9 @@ SR = 16000
 
 
 def main():
+    from wesep_tpu.utils import setup_compilation_cache
+
+    setup_compilation_cache()
     from wesep_tpu.models.bsrnn import BSRNN
     from wesep_tpu.train.losses import si_sdr_loss
     from wesep_tpu.train.schedulers import exponential_decrease
@@ -72,7 +76,10 @@ def main():
     )
     optimizer = make_optimizer(sched, weight_decay=1e-4, clip_grad=5.0)
     step = jax.jit(
-        make_train_step(model, optimizer, [si_sdr_loss]), donate_argnums=(0,)
+        make_train_step(
+            model, optimizer, [si_sdr_loss], compute_dtype=jnp.bfloat16
+        ),
+        donate_argnums=(0,),
     )
     state = init_train_state(model, jax.random.PRNGKey(0), batch, optimizer)
 

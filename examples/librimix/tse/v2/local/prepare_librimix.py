@@ -1,0 +1,118 @@
+"""Libri2Mix data preparation.
+
+Equivalent of the reference's local/prepare_data.sh + prepare_*.py awk
+pipelines: scans a Libri2Mix wav16k/min tree and writes, per split,
+  wav.scp spk1.scp spk2.scp       (mixture + clean sources)
+  utt2spks                        (utt -> "spkA spkB")
+  single.utt2spk                  (source utts for embedding training)
+  spk2enroll.json                 (spk -> [(utt, wav_path)])
+  spk1_enroll / spk2_enroll       (fixed dev/test enrollment maps)
+
+Speaker ids follow the LibriSpeech convention: the leading field of each
+source utterance id (e.g. '1089-134686-0000' -> '1089').
+"""
+
+import argparse
+import json
+import os
+import random
+from collections import defaultdict
+
+
+def get_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--librimix_dir", required=True,
+                        help=".../Libri2Mix/wav16k/min")
+    parser.add_argument("--out_dir", default="data")
+    parser.add_argument("--seed", type=int, default=17)
+    parser.add_argument(
+        "--splits", nargs="*",
+        default=["train-100:train", "dev:dev", "test:test"],
+        help="librimix_split:out_split pairs",
+    )
+    return parser.parse_args()
+
+
+def spk_of(utt_id: str) -> str:
+    return utt_id.split("-")[0]
+
+
+def prepare_split(mix_dir: str, out_dir: str, rng: random.Random,
+                  fixed_enroll: bool):
+    mix_both = os.path.join(mix_dir, "mix_both")
+    if not os.path.isdir(mix_both):
+        mix_both = os.path.join(mix_dir, "mix_clean")
+    s1_dir = os.path.join(mix_dir, "s1")
+    s2_dir = os.path.join(mix_dir, "s2")
+    os.makedirs(out_dir, exist_ok=True)
+
+    utts = sorted(
+        f[:-4] for f in os.listdir(mix_both) if f.endswith(".wav")
+    )
+    spk2utts = defaultdict(list)
+    with open(os.path.join(out_dir, "wav.scp"), "w") as f_mix, open(
+        os.path.join(out_dir, "spk1.scp"), "w"
+    ) as f_s1, open(os.path.join(out_dir, "spk2.scp"), "w") as f_s2, open(
+        os.path.join(out_dir, "utt2spks"), "w"
+    ) as f_spks, open(
+        os.path.join(out_dir, "single.utt2spk"), "w"
+    ) as f_single:
+        for utt in utts:
+            # key layout: <utt1>_<utt2>
+            u1, u2 = utt.split("_")
+            f_mix.write(f"{utt} {mix_both}/{utt}.wav\n")
+            f_s1.write(f"{utt} {s1_dir}/{utt}.wav\n")
+            f_s2.write(f"{utt} {s2_dir}/{utt}.wav\n")
+            f_spks.write(f"{utt} {spk_of(u1)} {spk_of(u2)}\n")
+            for u, d in ((u1, s1_dir), (u2, s2_dir)):
+                f_single.write(f"{u} {spk_of(u)}\n")
+                spk2utts[spk_of(u)].append(
+                    (u, os.path.join(d, f"{utt}.wav"))
+                )
+
+    with open(os.path.join(out_dir, "spk2enroll.json"), "w") as f:
+        json.dump(spk2utts, f, indent=1)
+
+    if fixed_enroll:
+        # deterministic enrollment: for each mixture pick a DIFFERENT
+        # utterance of the same speaker (fall back to any)
+        maps = {1: {}, 2: {}}
+        for utt in utts:
+            u1, u2 = utt.split("_")
+            for idx, u in ((1, u1), (2, u2)):
+                cands = [
+                    (cu, p) for cu, p in spk2utts[spk_of(u)] if cu != u
+                ] or spk2utts[spk_of(u)]
+                maps[idx][utt] = rng.choice(cands)
+        for idx in (1, 2):
+            with open(
+                os.path.join(out_dir, f"spk{idx}_enroll"), "w"
+            ) as f:
+                for utt, (eu, _) in sorted(maps[idx].items()):
+                    f.write(f"{utt} {eu}\n")
+        # enrollment wav map used by infer (utt-id -> path)
+        with open(os.path.join(out_dir, "enroll_wav.scp"), "w") as f:
+            seen = set()
+            for spk, pairs in spk2utts.items():
+                for u, p in pairs:
+                    if u not in seen:
+                        f.write(f"{u} {p}\n")
+                        seen.add(u)
+
+
+def main():
+    args = get_args()
+    rng = random.Random(args.seed)
+    os.makedirs(os.path.join(args.out_dir, "musan"), exist_ok=True)
+    for pair in args.splits:
+        src, dst = pair.split(":")
+        mix_dir = os.path.join(args.librimix_dir, src)
+        out_dir = os.path.join(args.out_dir, dst)
+        print(f"preparing {src} -> {out_dir}")
+        prepare_split(
+            mix_dir, out_dir, rng, fixed_enroll=dst in ("dev", "test")
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -233,8 +233,18 @@ def train(config: str, checkpoint=None, overrides=None, **kwargs):
         freeze_prefixes=freeze,
     )
 
+    # mixed precision: 'compute_dtype: bfloat16' (or the reference's
+    # enable_amp flag) runs fwd/bwd in bf16 with f32 params/accumulation
+    import jax.numpy as jnp
+
+    dtype_name = configs.get(
+        "compute_dtype",
+        "bfloat16" if configs.get("enable_amp") else None,
+    )
+    compute_dtype = jnp.dtype(dtype_name) if dtype_name else None
     train_step = make_train_step(
         model, optimizer, criterion, loss_posi, loss_weight, multi_task,
+        compute_dtype=compute_dtype,
         ssa_enroll_prob=dataset_args.get("SSA_enroll_prob", 0),
         ssa_speaker_feat=dataset_args.get("speaker_feat", True),
         fbank_args=dataset_args.get("fbank_args"),

@@ -17,10 +17,26 @@ These are plain functions over explicit weights so that flax modules and
 Pallas/pjit wrappers can share them.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 __all__ = ["lstm", "bilstm"]
+
+
+def _use_pallas(batch: int, hidden: int) -> bool:
+    """Dispatch the recurrence to the Pallas kernel when on TPU and the
+    shapes satisfy its tiling (H multiple of 128 on the lane dim, batch a
+    multiple of 8). ~8-10x faster than lax.scan at BSRNN shapes; exact
+    same math (see ops/pallas_lstm.py). WESEP_NO_PALLAS=1 disables."""
+    if os.environ.get("WESEP_NO_PALLAS"):
+        return False
+    if hidden % 128 != 0 or batch % 8 != 0:
+        return False
+    from wesep_tpu.ops.pallas_lstm import pallas_available
+
+    return pallas_available()
 
 
 def _lstm_scan(xw, wh, h0, c0, reverse=False):
@@ -59,6 +75,11 @@ def lstm(x, wx, wh, b, reverse=False):
     xw = jnp.einsum("btd,dh->bth", x, wx, preferred_element_type=jnp.float32)
     xw = (xw + b).astype(x.dtype)
     xw = jnp.swapaxes(xw, 0, 1)  # time-major for scan
+    if _use_pallas(batch, hidden):
+        from wesep_tpu.ops.pallas_lstm import lstm_pallas
+
+        ys = lstm_pallas(xw, wh.astype(x.dtype), reverse)
+        return jnp.swapaxes(ys, 0, 1)
     h0 = jnp.zeros((batch, hidden), x.dtype)
     c0 = jnp.zeros((batch, hidden), jnp.float32)
     ys = _lstm_scan(xw, wh, h0, c0, reverse=reverse)
