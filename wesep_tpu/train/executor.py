@@ -7,7 +7,6 @@ and aggregates losses. Loss scalars are fetched lazily (only at log
 points) so the device pipeline never stalls on the host.
 """
 
-import time
 from typing import Callable, Optional
 
 import numpy as np
@@ -31,11 +30,15 @@ class Executor:
         logger=None,
         log_batch_interval: int = 100,
         device_put: Optional[Callable] = None,
+        sample_rate: int = 16000,
     ):
         """One training epoch -> (state, avg_loss)."""
+        from wesep_tpu.utils.profiling import ThroughputMeter
+
         losses = []
-        t0 = time.time()
+        meter = ThroughputMeter(sample_rate=sample_rate)
         for i, batch in enumerate(dataloader):
+            meter.update(batch)
             if device_put is not None:
                 batch = device_put(batch)
             state, metrics = train_step(state, batch)
@@ -43,15 +46,17 @@ class Executor:
             self.step += 1
             if logger and (i + 1) % log_batch_interval == 0:
                 avg = float(np.mean([float(l) for l in losses]))
-                rate = (i + 1) / (time.time() - t0)
                 logger.info(
-                    table_row(
-                        ("TRAIN", epoch, i + 1, avg, f"{rate:.2f}it/s")
-                    )
+                    table_row((
+                        "TRAIN", epoch, i + 1, avg,
+                        f"{meter.audio_sec_per_sec():.0f}as/s",
+                    ))
                 )
             if (i + 1) == epoch_iter:
                 break
         avg = float(np.mean([float(l) for l in losses])) if losses else 0.0
+        if logger:
+            logger.info("epoch %d throughput: %s", epoch, meter.summary())
         return state, avg
 
     def cv(
