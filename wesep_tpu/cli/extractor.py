@@ -122,6 +122,17 @@ class Extractor:
         return est, self.resample_rate
 
 
+def load_model(language: str) -> Extractor:
+    """Hub-download + construct (reference cli/extractor.py:162-168)."""
+    from wesep_tpu.cli.hub import Hub
+
+    return Extractor(Hub.get_model(language))
+
+
+def load_model_local(model_dir: str) -> Extractor:
+    return Extractor(model_dir)
+
+
 def main():
     from wesep_tpu.cli.utils import get_args
 

@@ -54,7 +54,12 @@ class Conv1d(nn.Module):
     """1-D conv on [B, T, C] with torch-default init.
 
     Wraps flax Conv (NWC layout) but initializes like torch nn.Conv1d so
-    training dynamics match the reference configs.
+    training dynamics match the reference configs. DEPTHWISE convs
+    (groups == in == out channels, stride 1) are lowered as k shifted
+    multiply-adds on the VPU instead of a grouped convolution — XLA's
+    grouped-conv lowering is catastrophically slow on TPU (measured >20x
+    on the SpEx+ TCN); param shapes stay identical to nn.Conv
+    ('kernel' [k, 1, C], 'bias' [C]) so weight maps are unchanged.
     """
 
     features: int
@@ -74,6 +79,30 @@ class Conv1d(nn.Module):
             padding = [(self.padding, self.padding)]
         else:
             padding = self.padding
+        depthwise = (
+            self.groups == in_ch
+            and self.features == in_ch
+            and self.stride == 1
+            and self.kernel_size <= 8
+            and not isinstance(padding, str)
+        )
+        if depthwise:
+            kernel = self.param(
+                "kernel", init, (self.kernel_size, 1, self.features)
+            )
+            pad_lo, pad_hi = padding[0]
+            xp = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (0, 0)))
+            t_out = xp.shape[1] - self.dilation * (self.kernel_size - 1)
+            y = None
+            for k in range(self.kernel_size):
+                tap = jax.lax.dynamic_slice_in_dim(
+                    xp, k * self.dilation, t_out, axis=1
+                )
+                term = tap * kernel[k, 0]
+                y = term if y is None else y + term
+            if self.use_bias:
+                y = y + self.param("bias", init, (self.features,))
+            return y
         return nn.Conv(
             features=self.features,
             kernel_size=(self.kernel_size,),

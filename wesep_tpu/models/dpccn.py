@@ -137,16 +137,16 @@ class TCNBlock(nn.Module):
             if not self.causal
             else self.dilation * (self.kernel_size - 1)
         )
-        init_d = torch_linear_init(self.kernel_size)  # depthwise fan_in
+        from wesep_tpu.models.common import Conv1d
+
         y = nn.elu(instance_norm(x))
-        y = nn.Conv(
+        # depthwise: Conv1d lowers it as shifted multiply-adds (TPU-fast)
+        y = Conv1d(
             self.dims,
-            (self.kernel_size,),
-            kernel_dilation=(self.dilation,),
+            self.kernel_size,
+            dilation=self.dilation,
+            groups=self.dims,
             padding=[(pad, pad)] if not self.causal else [(pad, 0)],
-            feature_group_count=self.dims,
-            kernel_init=init_d,
-            bias_init=init_d,
             name="dconv1",
         )(y)
         y = nn.elu(instance_norm(y))

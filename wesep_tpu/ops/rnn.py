@@ -32,7 +32,10 @@ def _use_pallas(batch: int, hidden: int) -> bool:
     same math (see ops/pallas_lstm.py). WESEP_NO_PALLAS=1 disables."""
     if os.environ.get("WESEP_NO_PALLAS"):
         return False
-    if hidden % 128 != 0 or batch % 8 != 0:
+    # lane dim of the gates matmul (4H) must tile to 128; Mosaic pads the
+    # H-sized state blocks (verified numerically at H=192). Non-multiple-
+    # of-8 batches are zero-padded by the caller.
+    if (4 * hidden) % 128 != 0:
         return False
     from wesep_tpu.ops.pallas_lstm import pallas_available
 
@@ -78,7 +81,12 @@ def lstm(x, wx, wh, b, reverse=False):
     if _use_pallas(batch, hidden):
         from wesep_tpu.ops.pallas_lstm import lstm_pallas
 
+        pad = (-batch) % 8  # sublane-align the folded batch dim
+        if pad:
+            xw = jnp.pad(xw, ((0, 0), (0, pad), (0, 0)))
         ys = lstm_pallas(xw, wh.astype(x.dtype), reverse)
+        if pad:
+            ys = ys[:, :batch]
         return jnp.swapaxes(ys, 0, 1)
     h0 = jnp.zeros((batch, hidden), x.dtype)
     c0 = jnp.zeros((batch, hidden), jnp.float32)

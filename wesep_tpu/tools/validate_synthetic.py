@@ -1,0 +1,189 @@
+"""Self-contained synthetic-recipe validation: build data, train, infer.
+
+Generates a synthetic TSE corpus ("speakers" = distinct spectral
+envelopes), writes a complete shard recipe + config, runs bin.train and
+bin.infer, and reports SI-SNRi — an end-to-end integration check of the
+whole stack (data plane -> compiled training -> checkpointing -> infer)
+that needs no external corpora. The reference has no equivalent.
+
+  python -m wesep_tpu.tools.validate_synthetic --work_dir /tmp/v \
+      --num_epochs 4 [--model BSRNN]
+"""
+
+import argparse
+import io
+import json
+import os
+import tarfile
+
+import numpy as np
+import yaml
+
+
+def get_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--work_dir", required=True)
+    parser.add_argument("--model", default="BSRNN")
+    parser.add_argument("--num_spk", type=int, default=8)
+    parser.add_argument("--utts_per_spk", type=int, default=12)
+    parser.add_argument("--num_epochs", type=int, default=4)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--feature_dim", type=int, default=32)
+    parser.add_argument("--num_repeat", type=int, default=2)
+    parser.add_argument("--chunk_len", type=int, default=32000)
+    parser.add_argument("--seed", type=int, default=0)
+    return parser.parse_args()
+
+
+def synth_utt(rng, spk_freqs, t=48000, sr=16000):
+    """Amplitude-modulated multi-tone 'speech' with a speaker-specific
+    spectral envelope."""
+    ts = np.arange(t) / sr
+    sig = np.zeros(t)
+    for f, a in spk_freqs:
+        am = 0.5 + 0.5 * np.sin(
+            2 * np.pi * rng.uniform(1.5, 6.0) * ts + rng.uniform(0, 6.28)
+        )
+        sig += a * am * np.sin(2 * np.pi * f * ts + rng.uniform(0, 6.28))
+    sig += 0.01 * rng.standard_normal(t)
+    return (sig / (np.abs(sig).max() + 1e-9) * 0.5).astype(np.float32)
+
+
+def build_corpus(args):
+    from wesep_tpu.data.wav_io import wav_bytes
+    from wesep_tpu.utils.file_utils import write_vec_ark_scp
+
+    rng = np.random.default_rng(args.seed)
+    root = args.work_dir
+    os.makedirs(root, exist_ok=True)
+    spks = [f"spk{i:02d}" for i in range(args.num_spk)]
+    spk_freqs = {
+        s: [(float(rng.uniform(150, 3500)), float(rng.uniform(0.4, 1.0)))
+            for _ in range(4)]
+        for s in spks
+    }
+    # embeddings: one-hot-ish per speaker
+    embeds = {
+        f"utt_{s}": (np.eye(args.num_spk, 32)[i] + 0.01).astype(np.float32)
+        for i, s in enumerate(spks)
+    }
+    _, scp = write_vec_ark_scp(os.path.join(root, "embed"), embeds)
+    with open(os.path.join(root, "single.utt2spk"), "w") as f:
+        for s in spks:
+            f.write(f"utt_{s} {s}\n")
+
+    def make_split(name, n_utts, seed):
+        srng = np.random.default_rng(seed)
+        path = os.path.join(root, f"{name}.tar")
+        keys = {}
+        with tarfile.open(path, "w") as tar:
+            for u in range(n_utts):
+                i, j = srng.choice(args.num_spk, 2, replace=False)
+                s1 = synth_utt(srng, spk_freqs[spks[i]])
+                s2 = synth_utt(srng, spk_freqs[spks[j]])
+                key = f"{name}{u:03d}"
+                keys[key] = (spks[i], spks[j])
+
+                def add(nm, data):
+                    info = tarfile.TarInfo(nm)
+                    info.size = len(data)
+                    tar.addfile(info, io.BytesIO(data))
+
+                add(f"{key}.spk1", spks[i].encode())
+                add(f"{key}.spk2", spks[j].encode())
+                add(f"{key}.wav", wav_bytes(s1 + s2, 16000))
+                add(f"{key}_spk1.wav", wav_bytes(s1, 16000))
+                add(f"{key}_spk2.wav", wav_bytes(s2, 16000))
+        with open(os.path.join(root, f"{name}.list"), "w") as f:
+            f.write(path + "\n")
+        for idx in (1, 2):
+            with open(os.path.join(root, f"{name}.spk{idx}_enroll"),
+                      "w") as f:
+                for key, (a, b) in keys.items():
+                    f.write(f"{key} utt_{a if idx == 1 else b}\n")
+        return keys
+
+    n_train = args.num_spk * args.utts_per_spk
+    make_split("train", n_train, args.seed + 1)
+    make_split("dev", max(n_train // 8, 2), args.seed + 2)
+    make_split("test", max(n_train // 8, 2), args.seed + 3)
+    return scp, n_train
+
+
+def main():
+    args = get_args()
+    scp, n_train = build_corpus(args)
+    root = args.work_dir
+    config = {
+        "exp_dir": os.path.join(root, "exp"),
+        "data_type": "shard",
+        "train_data": os.path.join(root, "train.list"),
+        "val_data": os.path.join(root, "dev.list"),
+        "train_spk_embeds": scp,
+        "train_utt2spk": os.path.join(root, "single.utt2spk"),
+        "val_spk_embeds": scp,
+        "val_spk1_enroll": os.path.join(root, "dev.spk1_enroll"),
+        "val_spk2_enroll": os.path.join(root, "dev.spk2_enroll"),
+        "seed": 17,
+        "num_epochs": args.num_epochs,
+        "num_avg": 1,
+        "save_epoch_interval": 1,
+        "log_batch_interval": 5,
+        "clip_grad": 5.0,
+        "compute_dtype": "bfloat16",
+        "loss": "SISDR",
+        "loss_args": {},
+        "dataloader_args": {"batch_size": args.batch_size,
+                            "prefetch_factor": 2},
+        "dataset_args": {
+            "resample_rate": 16000,
+            "shuffle": True,
+            "shuffle_args": {"shuffle_size": 64},
+            "chunk_len": args.chunk_len,
+            "sample_num_per_epoch": n_train,
+        },
+        "model": {"tse_model": args.model},
+        "model_args": {"tse_model": {
+            "sr": 16000, "win": 512, "stride": 128,
+            "feature_dim": args.feature_dim,
+            "num_repeat": args.num_repeat,
+            "spk_fuse_type": "multiply", "use_spk_transform": False,
+            "multi_fuse": False, "joint_training": False,
+            "spk_emb_dim": 32,
+        }},
+        "model_init": {"tse_model": None},
+        "optimizer": {"tse_model": "Adam"},
+        "optimizer_args": {"tse_model": {"lr": 1e-3,
+                                         "weight_decay": 1e-4}},
+        "scheduler": {"tse_model": "ExponentialDecrease"},
+        "scheduler_args": {"tse_model": {
+            "initial_lr": 1e-3, "final_lr": 2e-4,
+            "warm_up_epoch": 0, "warm_from_zero": False,
+        }},
+    }
+    cfg_path = os.path.join(root, "config.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(config, f)
+
+    from wesep_tpu.bin.infer import infer
+    from wesep_tpu.bin.train import train
+
+    print(f"== training {args.model} for {args.num_epochs} epochs ==")
+    train(cfg_path)
+    print("== inference ==")
+    sisnr, sisnri = infer(
+        cfg_path,
+        checkpoint=os.path.join(root, "exp/models/final_checkpoint.ckpt"),
+        test_data=os.path.join(root, "test.list"),
+        test_spk_embeds=scp,
+        test_spk1_enroll=os.path.join(root, "test.spk1_enroll"),
+        test_spk2_enroll=os.path.join(root, "test.spk2_enroll"),
+        length_bucket=16000,
+    )
+    print(json.dumps({"SI-SNR": round(sisnr, 2),
+                      "SI-SNRi": round(sisnri, 2)}))
+    return sisnri
+
+
+if __name__ == "__main__":
+    main()
