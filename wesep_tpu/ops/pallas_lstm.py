@@ -248,3 +248,59 @@ def _bwd(reverse, res, dys):
 
 
 lstm_pallas.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def lstm_fused(x, wx, b, wh, reverse: bool = False):
+    """Full LSTM layer with memory-lean residuals.
+
+    x: [B, T, D]; wx: [D, 4H]; b: [4H]; wh: [H, 4H] -> ys [B, T, H].
+
+    Unlike lstm_pallas (which is differentiated w.r.t. its xw input and
+    therefore saves the [T, B, 4H] gate projections as residuals — 4H/D x
+    the input size), this op recomputes xw = x @ wx + b in the backward
+    pass and saves only (x, ys, cs). That shrinks per-layer residuals
+    enough that BSRNN trains WITHOUT rematerialization: no forward
+    replay in the backward pass.
+    """
+    ys, _ = _fused_fwd_impl(x, wx, b, wh, reverse)
+    return ys
+
+
+def _xw_time_major(x, wx, b):
+    xw = jnp.einsum(
+        "btd,dh->bth", x, wx, preferred_element_type=jnp.float32
+    )
+    return jnp.swapaxes((xw + b).astype(x.dtype), 0, 1)  # [T, B, 4H]
+
+
+def _fused_fwd_impl(x, wx, b, wh, reverse):
+    xw = _xw_time_major(x, wx, b)
+    ys, cs = _forward(xw, wh.astype(x.dtype), reverse)
+    return jnp.swapaxes(ys, 0, 1), cs
+
+
+def _fused_fwd(x, wx, b, wh, reverse):
+    ys, cs = _fused_fwd_impl(x, wx, b, wh, reverse)
+    return ys, (x, wx, b, wh, ys, cs)
+
+
+def _fused_bwd(reverse, res, dys):
+    x, wx, b, wh, ys, cs = res
+    xw = _xw_time_major(x, wx, b)  # recomputed, not saved
+    ys_tm = jnp.swapaxes(ys, 0, 1)
+    dys_tm = jnp.swapaxes(dys, 0, 1).astype(x.dtype)
+    dxw, dwh = _bwd(reverse, (xw, wh.astype(x.dtype), ys_tm, cs), dys_tm)
+    dxw_bm = jnp.swapaxes(dxw, 0, 1)  # [B, T, 4H]
+    dx = jnp.einsum(
+        "bth,dh->btd", dxw_bm, wx.astype(dxw_bm.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    dwx = jnp.einsum(
+        "btd,bth->dh", x, dxw_bm, preferred_element_type=jnp.float32
+    ).astype(wx.dtype)
+    db = jnp.sum(dxw_bm.astype(jnp.float32), axis=(0, 1)).astype(b.dtype)
+    return dx, dwx, db, dwh.astype(wh.dtype)
+
+
+lstm_fused.defvjp(_fused_fwd, _fused_bwd)

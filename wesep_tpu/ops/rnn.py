@@ -75,19 +75,19 @@ def lstm(x, wx, wh, b, reverse=False):
     """
     hidden = wh.shape[0]
     batch = x.shape[0]
-    xw = jnp.einsum("btd,dh->bth", x, wx, preferred_element_type=jnp.float32)
-    xw = (xw + b).astype(x.dtype)
-    xw = jnp.swapaxes(xw, 0, 1)  # time-major for scan
     if _use_pallas(batch, hidden):
-        from wesep_tpu.ops.pallas_lstm import lstm_pallas
+        from wesep_tpu.ops.pallas_lstm import lstm_fused
 
         pad = (-batch) % 8  # sublane-align the folded batch dim
         if pad:
-            xw = jnp.pad(xw, ((0, 0), (0, pad), (0, 0)))
-        ys = lstm_pallas(xw, wh.astype(x.dtype), reverse)
+            x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+        ys = lstm_fused(x, wx, b, wh, reverse)
         if pad:
-            ys = ys[:, :batch]
-        return jnp.swapaxes(ys, 0, 1)
+            ys = ys[:batch]
+        return ys
+    xw = jnp.einsum("btd,dh->bth", x, wx, preferred_element_type=jnp.float32)
+    xw = (xw + b).astype(x.dtype)
+    xw = jnp.swapaxes(xw, 0, 1)  # time-major for scan
     h0 = jnp.zeros((batch, hidden), x.dtype)
     c0 = jnp.zeros((batch, hidden), jnp.float32)
     ys = _lstm_scan(xw, wh, h0, c0, reverse=reverse)
