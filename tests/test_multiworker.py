@@ -1,0 +1,64 @@
+"""MultiWorkerLoader: spawn-process workers partition and batch the data."""
+
+import io
+import tarfile
+
+import numpy as np
+
+from wesep_tpu.data.wav_io import wav_bytes
+
+
+def _shard(path, prefix, n=8):
+    rng = np.random.default_rng(0)
+    with tarfile.open(path, "w") as tar:
+        for u in range(n):
+            key = f"{prefix}utt{u:02d}"
+
+            def add(name, data):
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                tar.addfile(info, io.BytesIO(data))
+
+            s1 = rng.standard_normal(4000).astype(np.float32) * 0.2
+            s2 = rng.standard_normal(4000).astype(np.float32) * 0.2
+            add(f"{key}.spk1", b"spkA")
+            add(f"{key}.spk2", b"spkB")
+            add(f"{key}.wav", wav_bytes(s1 + s2, 16000))
+            add(f"{key}_spk1.wav", wav_bytes(s1, 16000))
+            add(f"{key}_spk2.wav", wav_bytes(s2, 16000))
+
+
+def test_multiworker_loader(tmp_path):
+    from wesep_tpu.data import Dataset, MultiWorkerLoader, tse_collate_fn
+
+    # 4 shards over 2 workers (partition kicks in when shards > workers,
+    # matching the reference DistributedSampler semantics)
+    for i in range(4):
+        _shard(str(tmp_path / f"s{i}.tar"), prefix=f"s{i}_")
+    lst = str(tmp_path / "l.list")
+    with open(lst, "w") as f:
+        for i in range(4):
+            f.write(str(tmp_path / f"s{i}.tar") + "\n")
+    embeds = {
+        "spkA": [np.ones((1, 8), np.float32)],
+        "spkB": [np.full((1, 8), 2.0, np.float32)],
+    }
+    configs = {"resample_rate": 16000, "shuffle": True,
+               "shuffle_args": {"shuffle_size": 4}, "chunk_len": 2000}
+    workers = [
+        Dataset("shard", lst, configs, spk2embed_dict=embeds,
+                state="train", rank=0, world_size=1,
+                worker_id=w, num_workers=2)
+        for w in range(2)
+    ]
+    loader = MultiWorkerLoader(workers, batch_size=2,
+                               collate_fn=tse_collate_fn)
+    loader.set_epoch(0)
+    batches = list(loader)
+    # 32 utts -> 16 sample-batches of 2 (of 4 rows each)
+    assert len(batches) == 16
+    keys = [k for b in batches for k in b["key"]]
+    assert len(set(keys)) == 32  # full partition, no duplicates
+    for b in batches:
+        assert b["wav_mix"].shape == (4, 2000)
+        assert b["spk_embeds"].shape == (4, 8)

@@ -114,7 +114,20 @@ def infer(config: str, overrides=None, **kwargs):
         whole_utt=configs.get("whole_utt", True),
         repeat_dataset=False,
     )
-    enroll_len = configs["dataset_args"].get("enroll_len", None)
+    # static enrollment length (same default as bin/train): without it,
+    # every distinct enrollment length would trigger an XLA recompile
+    dataset_args = configs["dataset_args"]
+    enroll_len = dataset_args.get("enroll_len", None)
+    if enroll_len is None and joint_training:
+        if dataset_args.get("speaker_feat", False):
+            shift = dataset_args.get("fbank_args", {}).get("frame_shift", 10)
+            enroll_len = int(
+                dataset_args.get("enroll_sec", 6) * 1000 / shift
+            ) - 2
+        else:
+            enroll_len = int(
+                dataset_args.get("enroll_sec", 6) * sample_rate
+            )
     loader = BatchLoader(
         test_dataset, batch_size=1,
         collate_fn=lambda b: tse_collate_fn_2spk(

@@ -193,13 +193,52 @@ def train(config: str, checkpoint=None, overrides=None, **kwargs):
         else:
             enroll_len = int(dataset_args.get("enroll_sec", 6) * sr)
 
-    def collate(batch):
-        return tse_collate_fn(batch, fixed_enroll_len=enroll_len)
+    import functools
 
-    train_loader = BatchLoader(
-        train_dataset, batch_size=batch_size, collate_fn=collate,
-        drop_last=True, prefetch=dataloader_args.get("prefetch_factor", 4),
+    # functools.partial over the module-level collate: picklable for
+    # spawn-based multiprocess workers
+    collate = functools.partial(
+        tse_collate_fn, fixed_enroll_len=enroll_len
     )
+
+    num_workers = dataloader_args.get("num_workers", 0)
+    if num_workers and num_workers > 1:
+        # multiprocess workers for host-heavy chains (online mixing,
+        # host-side FRAM-RIR); each worker owns a shard partition
+        from wesep_tpu.data import MultiWorkerLoader
+
+        def _build_train_ds(worker_id):
+            return Dataset(
+                configs["data_type"], configs["train_data"], dataset_args,
+                tr_spk2embed_dict, None, None, state="train",
+                joint_training=joint_training, dict_spk=dict_spk,
+                whole_utt=configs.get("whole_utt", False),
+                repeat_dataset=configs.get("repeat_dataset", True),
+                noise_prob=dataset_args.get("noise_prob", 0),
+                reverb_prob=dataset_args.get("reverb_prob", 0),
+                noise_enroll_prob=dataset_args.get("noise_enroll_prob", 0),
+                reverb_enroll_prob=dataset_args.get(
+                    "reverb_enroll_prob", 0
+                ),
+                specaug_enroll_prob=dataset_args.get(
+                    "specaug_enroll_prob", 0
+                ),
+                online_mix=dataset_args.get("online_mix", False),
+                noise_lmdb_file=dataset_args.get("noise_lmdb_file", None),
+                rank=rank, world_size=world_size,
+                worker_id=worker_id, num_workers=num_workers,
+            )
+
+        train_loader = MultiWorkerLoader(
+            [_build_train_ds(w) for w in range(num_workers)],
+            batch_size=batch_size, collate_fn=collate, drop_last=True,
+        )
+    else:
+        train_loader = BatchLoader(
+            train_dataset, batch_size=batch_size, collate_fn=collate,
+            drop_last=True,
+            prefetch=dataloader_args.get("prefetch_factor", 4),
+        )
     val_loader = BatchLoader(
         val_dataset, batch_size=batch_size, collate_fn=collate,
         drop_last=True, prefetch=2,

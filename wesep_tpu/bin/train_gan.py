@@ -112,8 +112,13 @@ def train_gan(config: str, checkpoint=None, overrides=None, **kwargs):
         else:
             enroll_len = int(dataset_args.get("enroll_sec", 6) * sr)
 
-    def collate(batch):
-        return tse_collate_fn(batch, fixed_enroll_len=enroll_len)
+    import functools
+
+    # functools.partial over the module-level collate: picklable for
+    # spawn-based multiprocess workers
+    collate = functools.partial(
+        tse_collate_fn, fixed_enroll_len=enroll_len
+    )
 
     train_loader = BatchLoader(train_dataset, batch_size=batch_size,
                                collate_fn=collate, prefetch=4)

@@ -302,3 +302,86 @@ class BatchLoader:
             if item is _END:
                 break
             yield item
+
+
+def _worker_main(dataset, collate_fn, batch_size, drop_last, epoch, queue):
+    """Worker-process body: build batches from this worker's dataset shard
+    and push them to the shared queue (top-level fn: spawn-picklable)."""
+    import os
+
+    # children must never touch the TPU (single-client tunnel)
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ.setdefault("WESEP_JAX_PLATFORMS", "cpu")
+    try:
+        dataset.set_epoch(epoch)
+        buf = []
+        for sample in dataset:
+            buf.append(sample)
+            if len(buf) == batch_size:
+                queue.put(collate_fn(buf))
+                buf = []
+        if buf and not drop_last:
+            queue.put(collate_fn(buf))
+    finally:
+        queue.put(None)  # end-of-worker sentinel
+
+
+class MultiWorkerLoader:
+    """Multi-process batch loader (torch DataLoader num_workers analogue).
+
+    Takes one Dataset per worker (built with worker_id/num_workers so the
+    shard partition matches the reference DistributedSampler semantics,
+    dataset.py:84-103) and runs each in a spawned process; batches
+    interleave through a shared queue. Worker processes force
+    JAX_PLATFORMS=cpu so they never contend for the TPU. Use for
+    host-heavy chains (online mixing, host FRAM-RIR); the thread-prefetch
+    BatchLoader is enough for plain decode+chunk pipelines.
+    """
+
+    def __init__(
+        self,
+        worker_datasets,
+        batch_size: int = 8,
+        collate_fn=tse_collate_fn,
+        drop_last: bool = True,
+        queue_size: int = 8,
+    ):
+        self.worker_datasets = list(worker_datasets)
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn
+        self.drop_last = drop_last
+        self.queue_size = queue_size
+        self.epoch = -1
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[dict]:
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")
+        queue = ctx.Queue(maxsize=self.queue_size)
+        procs = [
+            ctx.Process(
+                target=_worker_main,
+                args=(ds, self.collate_fn, self.batch_size,
+                      self.drop_last, self.epoch, queue),
+                daemon=True,
+            )
+            for ds in self.worker_datasets
+        ]
+        for p in procs:
+            p.start()
+        finished = 0
+        try:
+            while finished < len(procs):
+                item = queue.get()
+                if item is None:
+                    finished += 1
+                    continue
+                yield item
+        finally:
+            for p in procs:
+                p.join(timeout=5)
+                if p.is_alive():
+                    p.terminate()
