@@ -9,7 +9,6 @@ Usage:
 """
 
 import argparse
-import os
 
 
 def get_args():

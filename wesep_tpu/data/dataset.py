@@ -7,7 +7,7 @@ fixed-shape numpy batches {wav_mix, wav_targets, spk_embeds, spk_label,
 key, spk} with each mixture expanded into one row per target speaker.
 """
 
-from typing import Iterable, Iterator, List, Optional
+from typing import Iterator, List, Optional
 
 import numpy as np
 

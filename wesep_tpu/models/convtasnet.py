@@ -21,8 +21,6 @@ confs/spexplus.yaml:27-30) or a single [B, T] array otherwise; spk_logits
 is None unless multi_task.
 """
 
-from typing import Optional, Sequence
-
 import flax.linen as nn
 import jax.numpy as jnp
 

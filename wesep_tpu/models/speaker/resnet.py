@@ -17,7 +17,7 @@ from typing import Sequence, Type
 import flax.linen as nn
 import jax.numpy as jnp
 
-from wesep_tpu.models.speaker.pooling import get_pooling, pooling_out_mult
+from wesep_tpu.models.speaker.pooling import get_pooling
 
 __all__ = [
     "ResNet",

@@ -13,7 +13,7 @@ batch and the attention batch dims shard cleanly over a model axis.
 """
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -19,8 +19,6 @@ Falls back to interpret mode off-TPU so tests stay hermetic.
 """
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

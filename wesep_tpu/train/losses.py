@@ -18,13 +18,12 @@ Implemented natively on jnp so everything fuses into the compiled step:
   PIT                     (permutation-invariant wrapper over SI-SNR)
 """
 
-import functools
 from typing import Callable, Dict, Sequence
 
 import jax
 import jax.numpy as jnp
 
-from wesep_tpu.ops.stft import hann_window, magnitude, stft
+from wesep_tpu.ops.stft import hann_window, stft
 
 EPS = 1e-8
 

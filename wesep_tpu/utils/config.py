@@ -8,7 +8,6 @@ setup_logger (:35-70, rank-0 rotation of old train.log.N files).
 import logging
 import os
 import random
-import re
 
 import numpy as np
 import yaml

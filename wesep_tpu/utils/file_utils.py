@@ -7,7 +7,6 @@ embedding loading/normalization, 2-column scp text.
 """
 
 import json
-import os
 import struct
 from typing import Dict, List, Tuple
 
