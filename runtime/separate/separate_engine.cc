@@ -23,20 +23,28 @@ void EnsurePython() {
   }
 }
 
-PyObject* FloatVectorToList(const float* data, size_t n) {
-  PyObject* list = PyList_New(static_cast<Py_ssize_t>(n));
-  for (size_t i = 0; i < n; ++i) {
-    PyList_SET_ITEM(list, static_cast<Py_ssize_t>(i),
-                    PyFloat_FromDouble(data[i]));
-  }
-  return list;
-}
-
 void Check(PyObject* obj, const char* what) {
   if (obj == nullptr) {
     PyErr_Print();
     throw std::runtime_error(std::string("python error in ") + what);
   }
+}
+
+// Zero-copy view of a C float buffer as a 1-D numpy array: memoryview ->
+// np.frombuffer shares the memory, no per-sample boxing (the reference
+// LibTorch engine gets the same via torch::from_blob). The caller's
+// buffer must outlive every python use of the array; runtime_host copies
+// into batch tensors before returning, so the lifetime ends with the
+// separate() call.
+PyObject* ArrayFromBuffer(PyObject* np, const float* data, size_t n) {
+  PyObject* mv = PyMemoryView_FromMemory(
+      reinterpret_cast<char*>(const_cast<float*>(data)),
+      static_cast<Py_ssize_t>(n * sizeof(float)), PyBUF_READ);
+  Check(mv, "memoryview");
+  PyObject* arr = PyObject_CallMethod(np, "frombuffer", "Os", mv, "float32");
+  Py_DECREF(mv);
+  Check(arr, "np.frombuffer");
+  return arr;
 }
 
 }  // namespace
@@ -96,10 +104,7 @@ void SeparateEngine::ForwardFunc(const std::vector<float>& mix,
 
   auto make_array = [&](const std::vector<float>& data, int rows,
                         int cols) -> PyObject* {
-    PyObject* list = FloatVectorToList(data.data(), data.size());
-    PyObject* arr = PyObject_CallMethod(np, "asarray", "Os", list, "float32");
-    Py_DECREF(list);
-    Check(arr, "np.asarray");
+    PyObject* arr = ArrayFromBuffer(np, data.data(), data.size());
     if (rows > 0) {
       PyObject* shaped =
           PyObject_CallMethod(arr, "reshape", "(ii)", rows, cols);
@@ -130,23 +135,35 @@ void SeparateEngine::ForwardFunc(const std::vector<float>& mix,
   Py_DECREF(e2_arr);
   Check(ret, "runtime_host.separate");
 
-  // ret: np.ndarray [2, T] float32 -> pull via tolist of each row
+  // ret: np.ndarray [N, T] float32 -> one bulk memcpy per row via the
+  // buffer protocol (the reverse of ArrayFromBuffer; no boxed floats)
   outputs->clear();
-  PyObject* lists = PyObject_CallMethod(ret, "tolist", nullptr);
+  PyObject* contig =
+      PyObject_CallMethod(np, "ascontiguousarray", "Os", ret, "float32");
   Py_DECREF(ret);
-  Check(lists, "tolist");
-  Py_ssize_t n_out = PyList_Size(lists);
+  Check(contig, "ascontiguousarray");
+  Py_buffer view;
+  if (PyObject_GetBuffer(contig, &view, PyBUF_C_CONTIGUOUS | PyBUF_FORMAT) !=
+      0) {
+    PyErr_Print();
+    Py_DECREF(contig);
+    throw std::runtime_error("separate output does not expose a buffer");
+  }
+  if (view.ndim != 2) {
+    PyBuffer_Release(&view);
+    Py_DECREF(contig);
+    throw std::runtime_error("separate output is not 2-D");
+  }
+  const Py_ssize_t n_out = view.shape[0];
+  const Py_ssize_t t = view.shape[1];
+  const float* src = static_cast<const float*>(view.buf);
   for (Py_ssize_t i = 0; i < n_out; ++i) {
-    PyObject* row = PyList_GetItem(lists, i);  // borrowed
-    Py_ssize_t t = PyList_Size(row);
     std::vector<float> out(static_cast<size_t>(t));
-    for (Py_ssize_t j = 0; j < t; ++j) {
-      out[static_cast<size_t>(j)] =
-          static_cast<float>(PyFloat_AsDouble(PyList_GetItem(row, j)));
-    }
+    std::memcpy(out.data(), src + i * t, static_cast<size_t>(t) * sizeof(float));
     outputs->push_back(std::move(out));
   }
-  Py_DECREF(lists);
+  PyBuffer_Release(&view);
+  Py_DECREF(contig);
   Py_DECREF(np);
 }
 

@@ -141,6 +141,13 @@ def train(config: str, checkpoint=None, overrides=None, **kwargs):
     )
 
     dataset_args = configs["dataset_args"]
+    online_mix = dataset_args.get("online_mix", False)
+    # TPU-first default: with online mixing, the simulation (FRAM-RIR +
+    # SNR mix + noise) runs batched on device inside the compiled train
+    # step instead of per-sample in host workers (data/augment.py).
+    # Set dataset_args.device_augment: false to force the reference-
+    # semantics host path (data/processor.py:233-330,571-640).
+    device_augment = online_mix and dataset_args.get("device_augment", True)
     train_dataset = Dataset(
         configs["data_type"],
         configs["train_data"],
@@ -158,7 +165,8 @@ def train(config: str, checkpoint=None, overrides=None, **kwargs):
         noise_enroll_prob=dataset_args.get("noise_enroll_prob", 0),
         reverb_enroll_prob=dataset_args.get("reverb_enroll_prob", 0),
         specaug_enroll_prob=dataset_args.get("specaug_enroll_prob", 0),
-        online_mix=dataset_args.get("online_mix", False),
+        online_mix=online_mix,
+        device_augment=device_augment,
         noise_lmdb_file=dataset_args.get("noise_lmdb_file", None),
         rank=rank,
         world_size=world_size,
@@ -197,7 +205,17 @@ def train(config: str, checkpoint=None, overrides=None, **kwargs):
 
     # functools.partial over the module-level collate: picklable for
     # spawn-based multiprocess workers
-    collate = functools.partial(
+    if device_augment:
+        from wesep_tpu.data import tse_collate_fn_device
+
+        collate = functools.partial(
+            tse_collate_fn_device, fixed_enroll_len=enroll_len
+        )
+    else:
+        collate = functools.partial(
+            tse_collate_fn, fixed_enroll_len=enroll_len
+        )
+    val_collate = functools.partial(
         tse_collate_fn, fixed_enroll_len=enroll_len
     )
 
@@ -223,7 +241,8 @@ def train(config: str, checkpoint=None, overrides=None, **kwargs):
                 specaug_enroll_prob=dataset_args.get(
                     "specaug_enroll_prob", 0
                 ),
-                online_mix=dataset_args.get("online_mix", False),
+                online_mix=online_mix,
+                device_augment=device_augment,
                 noise_lmdb_file=dataset_args.get("noise_lmdb_file", None),
                 rank=rank, world_size=world_size,
                 worker_id=worker_id, num_workers=num_workers,
@@ -240,7 +259,7 @@ def train(config: str, checkpoint=None, overrides=None, **kwargs):
             prefetch=dataloader_args.get("prefetch_factor", 4),
         )
     val_loader = BatchLoader(
-        val_dataset, batch_size=batch_size, collate_fn=collate,
+        val_dataset, batch_size=batch_size, collate_fn=val_collate,
         drop_last=True, prefetch=2,
     )
 
@@ -281,6 +300,15 @@ def train(config: str, checkpoint=None, overrides=None, **kwargs):
         "bfloat16" if configs.get("enable_amp") else None,
     )
     compute_dtype = jnp.dtype(dtype_name) if dtype_name else None
+    aug_cfg = None
+    if device_augment:
+        aug_cfg = {
+            "reverb_prob": dataset_args.get("reverb_prob", 0),
+            "use_random_snr": dataset_args.get("use_random_snr", False),
+            "noise_prob": dataset_args.get("noise_prob", 0),
+            "noise_snr": dataset_args.get("noise_snr", (-5.0, 25.0)),
+            "sample_rate": dataset_args.get("resample_rate", 16000),
+        }
     train_step = make_train_step(
         model, optimizer, criterion, loss_posi, loss_weight, multi_task,
         compute_dtype=compute_dtype,
@@ -288,6 +316,8 @@ def train(config: str, checkpoint=None, overrides=None, **kwargs):
         ssa_speaker_feat=dataset_args.get("speaker_feat", True),
         fbank_args=dataset_args.get("fbank_args"),
         sample_rate=dataset_args.get("resample_rate", 16000),
+        seed=configs.get("seed", 42),
+        device_augment=aug_cfg,
     )
     eval_step = make_eval_step(model, criterion)
 
@@ -301,6 +331,15 @@ def train(config: str, checkpoint=None, overrides=None, **kwargs):
         k: v for k, v in example_batch.items()
         if isinstance(v, np.ndarray) and v.dtype != object
     }
+    if device_augment:
+        # device-path batches carry dry sources; synthesize the shapes the
+        # model init needs (the step derives wav_mix/wav_targets on device)
+        srcs = example_batch["wav_srcs"]
+        n_spk = srcs.shape[1]
+        example_batch["wav_mix"] = np.repeat(
+            srcs.sum(axis=1), n_spk, axis=0
+        )
+        example_batch["wav_targets"] = srcs.reshape(-1, srcs.shape[-1])
     state = init_train_state(
         model, jax.random.PRNGKey(configs.get("seed", 42)), example_batch,
         optimizer,
@@ -335,7 +374,12 @@ def train(config: str, checkpoint=None, overrides=None, **kwargs):
             fout.write(yaml.dump(configs))
 
     # mesh + compiled steps; batch rows must divide over the data axis
-    n_rows = example_batch["wav_mix"].shape[0]
+    # (device-augment batches shard on the mixture dim B; rows = B * S)
+    n_rows = (
+        example_batch["wav_srcs"].shape[0]
+        if device_augment
+        else example_batch["wav_mix"].shape[0]
+    )
     mesh_devices = n_devices
     while n_rows % mesh_devices:
         mesh_devices -= 1

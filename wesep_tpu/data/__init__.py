@@ -4,6 +4,7 @@ from wesep_tpu.data.dataset import (
     MultiWorkerLoader,
     tse_collate_fn,
     tse_collate_fn_2spk,
+    tse_collate_fn_device,
 )
 from wesep_tpu.data.datalist import DataList, read_lists
 
@@ -13,6 +14,7 @@ __all__ = [
     "Dataset",
     "tse_collate_fn",
     "tse_collate_fn_2spk",
+    "tse_collate_fn_device",
     "DataList",
     "read_lists",
 ]

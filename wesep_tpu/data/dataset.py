@@ -14,7 +14,13 @@ import numpy as np
 from wesep_tpu.data import processor
 from wesep_tpu.data.datalist import DataList, read_lists
 
-__all__ = ["Dataset", "tse_collate_fn", "tse_collate_fn_2spk", "BatchLoader"]
+__all__ = [
+    "Dataset",
+    "tse_collate_fn",
+    "tse_collate_fn_2spk",
+    "tse_collate_fn_device",
+    "BatchLoader",
+]
 
 
 class _Chain:
@@ -60,13 +66,22 @@ def Dataset(
     specaug_enroll_prob: float = 0,
     noise_lmdb_file: Optional[str] = None,
     online_mix: bool = False,
+    device_augment: bool = False,
     rank: Optional[int] = None,
     world_size: Optional[int] = None,
     worker_id: int = 0,
     num_workers: int = 1,
 ):
     """Build the streaming pipeline (chain order mirrors the reference
-    factory, dataset.py:267-409)."""
+    factory, dataset.py:267-409).
+
+    device_augment=True (online_mix training only) moves the simulation
+    stages (FRAM-RIR reverb, SNR mixing, additive noise) off the host: the
+    chain stops after speaker pairing and the batched jittable fns in
+    wesep_tpu.data.augment run them inside the compiled train step. The
+    host then only decodes/chunks audio and fetches raw noise chunks —
+    the TPU-first replacement for the reference's per-sample python
+    simulation bottleneck (SURVEY §3.4)."""
     assert data_type in ["shard", "raw"]
     lists = read_lists(data_list_file)
     shuffle = configs.get("shuffle", False)
@@ -114,12 +129,26 @@ def Dataset(
             configs.get("num_speakers", 2),
             configs.get("online_buffer_size", 1000),
         )
-        if reverb_prob > 0:
-            chain = chain.apply(processor.add_reverb, reverb_prob)
-        chain = chain.apply(
-            processor.snr_mixer, configs.get("use_random_snr", False)
-        )
-    if noise_prob > 0:
+        if device_augment and state == "train":
+            # reverb/SNR-mix/noise run batched on device inside the train
+            # step (data/augment.py); host only fetches raw noise chunks
+            if noise_prob > 0:
+                assert noise_lmdb_file is not None
+                chain = chain.apply(
+                    processor.fetch_noise_chunk, noise_lmdb_file
+                )
+        else:
+            if reverb_prob > 0:
+                chain = chain.apply(processor.add_reverb, reverb_prob)
+            chain = chain.apply(
+                processor.snr_mixer, configs.get("use_random_snr", False)
+            )
+            if noise_prob > 0:
+                assert noise_lmdb_file is not None
+                chain = chain.apply(
+                    processor.add_noise, noise_lmdb_file, noise_prob
+                )
+    elif noise_prob > 0:
         assert noise_lmdb_file is not None
         chain = chain.apply(
             processor.add_noise, noise_lmdb_file, noise_prob
@@ -236,6 +265,47 @@ def tse_collate_fn(batch: List[dict], mode: str = "min",
         "key": key,
         "spk_label": np.asarray(spk_label, np.int32),
     }
+
+
+def tse_collate_fn_device(batch: List[dict], mode: str = "min",
+                          fixed_enroll_len: Optional[int] = None) -> dict:
+    """Collate for the DEVICE augmentation path (online_mix training).
+
+    Emits the dry stacked sources + raw noise chunks instead of a host-
+    mixed wav_mix; the compiled train step runs reverb/SNR-mix/noise
+    batched on device (wesep_tpu.data.augment.augment_batch) and expands
+    the mixture into per-target rows there. Enrollments/labels are already
+    expanded per target row here (same row order as tse_collate_fn:
+    sample-major, speaker-minor).
+    """
+    srcs, noise, spk_embeds = [], [], []
+    spk, key, spk_label = [], [], []
+    for s in batch:
+        ns = s["num_speaker"]
+        srcs.append(
+            np.concatenate([s[f"wav_spk{i + 1}"] for i in range(ns)])
+        )
+        if "noise_chunk" in s:
+            noise.append(s["noise_chunk"])
+        for i in range(ns):
+            spk.append(s[f"spk{i + 1}"])
+            key.append(s["key"])
+            spk_embeds.append(np.asarray(s[f"embed_spk{i + 1}"]))
+            if f"spk{i + 1}_label" in s:
+                spk_label.append(s[f"spk{i + 1}_label"])
+    spk_embeds, lengths = _pad_or_trim_embeds(spk_embeds, mode,
+                                              fixed_enroll_len)
+    out = {
+        "wav_srcs": np.stack(srcs).astype(np.float32),  # [B, S, T]
+        "spk_embeds": np.concatenate(spk_embeds).astype(np.float32),
+        "length_spk_embeds": lengths,
+        "spk": spk,
+        "key": key,
+        "spk_label": np.asarray(spk_label, np.int32),
+    }
+    if noise:
+        out["wav_noise"] = np.concatenate(noise).astype(np.float32)  # [B,T]
+    return out
 
 
 def tse_collate_fn_2spk(batch: List[dict], mode: str = "min",

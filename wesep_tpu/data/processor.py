@@ -57,6 +57,7 @@ __all__ = [
     "random_chunk",
     "fix_chunk",
     "add_noise",
+    "fetch_noise_chunk",
     "add_reverb",
     "add_noise_on_enroll",
     "add_reverb_on_enroll",
@@ -592,6 +593,34 @@ def add_noise(
             sample["wav_mix"] = mixed
             sample["noise"] = scaled
             sample["snr"] = noise_db
+        yield sample
+
+
+def fetch_noise_chunk(
+    data: Iterable[dict],
+    noise_lmdb_file: str,
+    single_channel: bool = True,
+) -> Iterator[dict]:
+    """Attach a raw (unscaled) noise chunk sized to the sources for the
+    DEVICE augmentation path.
+
+    The host only decodes + wrap-pads/seeks the noise to the chunk length
+    (the cheap part of reference add_noise, processor.py:663-731); SNR
+    scaling and the add itself run batched on device
+    (wesep_tpu.data.augment.add_noise_snr).
+    """
+    from wesep_tpu.data.noise_store import NoiseStore
+
+    noise_source = NoiseStore(noise_lmdb_file)
+    for sample in data:
+        tgt_sr = sample["sample_rate"]
+        nsamples = np.asarray(sample["wav_spk1"]).shape[-1]
+        _, noise_data = noise_source.random_one()
+        noise_wav, noise_sr = read_wav(noise_data)
+        noise = _fit_noise(
+            noise_wav, noise_sr, tgt_sr, nsamples, single_channel
+        )
+        sample["noise_chunk"] = noise[:1].astype(np.float32)  # [1, T]
         yield sample
 
 

@@ -180,6 +180,8 @@ def make_train_step(
     ssa_speaker_feat: bool = True,
     fbank_args: Optional[dict] = None,
     sample_rate: int = 16000,
+    seed: int = 42,
+    device_augment: Optional[dict] = None,
 ):
     """Build the pure (state, batch) -> (state, metrics) train step.
 
@@ -188,9 +190,54 @@ def make_train_step(
     batch, a no-grad forward produces an estimate which (optionally
     fbank'd) replaces the enrollment for the grad forward; lowered as a
     lax.cond so only the selected branch executes on device.
+
+    All step randomness (SSA coin, device augmentation) derives from
+    `seed` folded with the step counter, so runs are reproducible per
+    config seed (reference set_seed, utils/utils.py:103-112).
+
+    device_augment (the TPU-first online-mix path): a dict
+    {reverb_prob, use_random_snr, noise_prob, noise_snr, sample_rate}
+    that makes the step consume `wav_srcs` [B, S, T] (+ optional
+    `wav_noise` [B, T]) batches and run FRAM-RIR reverb + SNR mixing +
+    additive noise batched ON DEVICE (data/augment.py), then expand the
+    mixture into per-target rows — replacing the reference's per-sample
+    host simulation (processor.py:210-320,650-782, SURVEY §3.4). The whole
+    simulation fuses into the compiled train step.
     """
 
+    def _apply_device_augment(rng, batch):
+        from wesep_tpu.data.augment import RirConfig, augment_batch
+
+        cfg = device_augment
+        srcs = batch["wav_srcs"]  # [B, S, T]
+        n_spk = srcs.shape[1]
+        noise = batch.get("wav_noise")
+        mix, scaled = augment_batch(
+            rng,
+            srcs,
+            noise=noise,
+            cfg=RirConfig(
+                sr=cfg.get("sample_rate", sample_rate), num_src=n_spk
+            ),
+            reverb_prob=cfg.get("reverb_prob", 0.0),
+            use_random_snr=cfg.get("use_random_snr", True),
+            noise_prob=cfg.get("noise_prob", 0.0) if noise is not None
+            else 0.0,
+            noise_snr=tuple(cfg.get("noise_snr", (-5.0, 25.0))),
+        )
+        out = dict(batch)
+        # row expansion matches tse_collate_fn (sample-major,
+        # speaker-minor): mixture repeated per target speaker
+        out["wav_mix"] = jnp.repeat(mix, n_spk, axis=0)
+        out["wav_targets"] = scaled.reshape(-1, scaled.shape[-1])
+        return out
+
     def train_step(state: TrainState, batch):
+        base_rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
+        if device_augment is not None:
+            batch = _apply_device_augment(
+                jax.random.fold_in(base_rng, 1), batch
+            )
         def _forward(params, enroll, keep_stats=True):
             """keep_stats=False discards BN-stat updates (the SSA no-grad
             pre-pass; torch would update them, we keep the grad pass
@@ -258,8 +305,9 @@ def make_train_step(
 
             if ssa_enroll_prob <= 0:
                 return _loss_with(batch["spk_embeds"])
-            rng = jax.random.fold_in(jax.random.PRNGKey(11), state.step)
-            do_ssa = jax.random.uniform(rng) < ssa_enroll_prob
+            do_ssa = jax.random.uniform(
+                jax.random.fold_in(base_rng, 2)
+            ) < ssa_enroll_prob
             return jax.lax.cond(
                 do_ssa,
                 lambda: _loss_with(_ssa_enroll(params)),

@@ -50,6 +50,15 @@ class ThroughputMeter:
             self.audio_sec += (
                 wav.shape[0] * wav.shape[1] / self.sample_rate
             )
+        else:
+            # device-augment batches: dry sources [B, S, T] expand into
+            # B*S training rows on device
+            srcs = batch.get("wav_srcs")
+            if srcs is not None and len(getattr(srcs, "shape", ())) == 3:
+                self.audio_sec += (
+                    srcs.shape[0] * srcs.shape[1] * srcs.shape[2]
+                    / self.sample_rate
+                )
         self.steps += 1
 
     @property
