@@ -42,6 +42,7 @@ def train_gan(config: str, checkpoint=None, overrides=None, **kwargs):
     )
     from wesep_tpu.train.trainer_gan import (
         make_gan_train_step,
+        metric_pesq,
         metric_pesq_callback,
         metric_sisdr_norm,
     )
@@ -162,11 +163,15 @@ def train_gan(config: str, checkpoint=None, overrides=None, **kwargs):
                            weight_decay=d_opt_args.get("weight_decay", 0.0),
                            clip_grad=clip)
 
-    metric = (
-        metric_pesq_callback
-        if configs.get("gan_metric", "sisdr") == "pesq"
-        else metric_sisdr_norm
-    )
+    # 'pesq' (default): real P.862 on device (ops/pesq.py, no host stall);
+    # 'pesq_host': external `pesq` package via callback; 'sisdr': fast proxy
+    metric_name = configs.get("gan_metric", "pesq")
+    sr = configs["dataset_args"].get("resample_rate", 16000)
+    metric = {
+        "pesq": functools.partial(metric_pesq, fs=sr),
+        "pesq_host": metric_pesq_callback,
+        "sisdr": metric_sisdr_norm,
+    }[metric_name]
     step = jax.jit(
         make_gan_train_step(
             model, discriminator, g_opt, d_opt, criterion,

@@ -12,11 +12,15 @@ Equivalent of /root/reference/wesep/utils/executor_gan.py:28-339. Per batch:
 Metric targets: the reference computes ACTUAL PESQ per batch on the host
 (executor_gan.py:309-337) — a device-stalling CPU round trip. Here the
 metric fn is pluggable:
-  * 'pesq'  — host callback via jax.pure_callback (needs the pesq package;
-    invalid/None scores are masked out of the loss, matching the
-    reference's None -> 0-loss behavior);
-  * 'sisdr' — DEFAULT, a jittable on-device proxy sigmoid(SI-SDR/10) in
-    (0,1): no host round trip, the whole GAN step stays compiled.
+  * 'pesq'  — DEFAULT: real P.862 scores from the jittable on-device
+    perceptual model (wesep_tpu.ops.pesq) — the whole MetricGAN step
+    stays compiled, no host round trip (the TPU-first answer to the
+    reference's CPU PESQ stall); silent pairs are masked out of the
+    loss, matching the reference's None -> skip behavior;
+  * 'pesq_host' — host callback via jax.pure_callback through the
+    external `pesq` package when bit-exact ITU scores are required;
+  * 'sisdr' — a cheap on-device proxy sigmoid(SI-SDR/10) in (0,1),
+    kept as a documented fast mode.
 """
 
 from typing import Callable, Sequence
@@ -29,13 +33,29 @@ import optax
 from wesep_tpu.train.losses import si_sdr
 from wesep_tpu.train.trainer import TrainState, weighted_loss
 
-__all__ = ["make_gan_train_step", "metric_sisdr_norm", "metric_pesq_callback"]
+__all__ = [
+    "make_gan_train_step",
+    "metric_sisdr_norm",
+    "metric_pesq",
+    "metric_pesq_callback",
+]
 
 
 def metric_sisdr_norm(est, ref):
     """(values [B], valid [B]) on-device metric proxy in (0, 1)."""
     vals = jax.nn.sigmoid(si_sdr(est, ref) / 10.0)
     return vals, jnp.ones_like(vals, dtype=bool)
+
+
+def metric_pesq(est, ref, fs: int = 16000):
+    """Real normalized PESQ on device (jittable P.862 model, ops/pesq.py).
+
+    Same (0,1) normalization as the reference (score.py:52-55); silent
+    pairs are masked invalid instead of returning None.
+    """
+    from wesep_tpu.ops.pesq import pesq_norm_batch
+
+    return pesq_norm_batch(est, ref, fs)
 
 
 def metric_pesq_callback(est, ref, fs: int = 16000):

@@ -46,15 +46,59 @@ def cal_SNR(est: np.ndarray, ref: np.ndarray) -> float:
 
 def cal_PESQ(est: np.ndarray, ref: np.ndarray, fs: int = 16000
              ) -> Optional[float]:
-    """PESQ via the optional `pesq` package; None if unavailable/silent
-    (reference score.py:39-49)."""
+    """PESQ MOS-LQO (reference score.py:39-49).
+
+    Uses the external ITU `pesq` package when installed (bit-exact
+    P.862); otherwise falls back to the in-repo jittable P.862 model
+    (wesep_tpu.ops.pesq) with a crude cross-correlation time alignment.
+    Returns None on silent/degenerate inputs like the reference.
+    """
+    est = np.asarray(est, np.float32).reshape(-1)
+    ref = np.asarray(ref, np.float32).reshape(-1)
+    if (ref ** 2).mean() <= 1e-12 or (est ** 2).mean() <= 1e-12:
+        return None
     try:
         from pesq import pesq as _pesq
 
         mode = "wb" if fs == 16000 else "nb"
-        return float(_pesq(fs, np.asarray(ref), np.asarray(est), mode))
+        return float(_pesq(fs, ref, est, mode))
+    except ImportError:
+        pass
     except Exception:
         return None
+    try:
+        from wesep_tpu.ops.pesq import pesq_batch
+
+        est = _crude_align(ref, est)
+        n = min(len(ref), len(est))
+        score = pesq_batch(ref[None, :n], est[None, :n], fs)[0]
+        return float(score) if np.isfinite(score) else None
+    except Exception:
+        return None
+
+
+def _crude_align(ref: np.ndarray, est: np.ndarray,
+                 max_shift_s: float = 0.5, fs: int = 16000) -> np.ndarray:
+    """Shift `est` to the delay maximizing envelope cross-correlation
+    (stand-in for P.862 utterance alignment; separation outputs are
+    normally already sample-aligned, giving shift 0)."""
+    n = min(len(ref), len(est))
+    hop = 64
+    env_r = np.abs(ref[:n]).reshape(-1, hop).mean(-1) if n % hop == 0 else \
+        np.abs(ref[: n - n % hop]).reshape(-1, hop).mean(-1)
+    env_e = np.abs(est[:n]) if n % hop == 0 else np.abs(est[: n - n % hop])
+    env_e = env_e.reshape(-1, hop).mean(-1)
+    max_lag = int(max_shift_s * fs / hop)
+    f = len(env_r)
+    pad = np.zeros(max_lag, env_r.dtype)
+    xr = np.concatenate([pad, env_r - env_r.mean(), pad])
+    corr = np.correlate(xr, env_e - env_e.mean(), mode="valid")
+    lag = (int(np.argmax(corr)) - max_lag) * hop
+    if lag == 0:
+        return est
+    if lag > 0:  # est is early: delay it
+        return np.concatenate([np.zeros(lag, est.dtype), est[:-lag]])
+    return np.concatenate([est[-lag:], np.zeros(-lag, est.dtype)])
 
 
 def cal_PESQ_norm(est: np.ndarray, ref: np.ndarray, fs: int = 16000
