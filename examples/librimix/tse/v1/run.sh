@@ -15,13 +15,27 @@ spk_ckpt=/path/to/speaker_encoder.ckpt
 spk_model=ResNet34
 exp_dir=$(python -c "import yaml,sys;print(yaml.safe_load(open('$config'))['exp_dir'])")
 num_avg=2
+# MetricGAN fine-tuning (reference v1/run.sh:22,74-75): set true with
+# config=confs/dpcc_init_gan.yaml after a converged dpccn run
+use_gan_loss=false
+use_official_enroll_maps=true
 
 . ../../../../tools/parse_options.sh || true
 
 if [ ${stage} -le 1 ] && [ ${stop_stage} -ge 1 ]; then
   echo "stage 1: prepare data lists"
+  m2e_args=""
+  if ${use_official_enroll_maps}; then
+    for dset in dev test; do
+      url="https://raw.githubusercontent.com/BUTSpeechFIT/speakerbeam/main/egs/libri2mix/data/wav8k/min/${dset}/map_mixture2enrollment"
+      mkdir -p ${data}/${dset}
+      [ -s ${data}/${dset}/mixture2enrollment ] || \
+        wget -O ${data}/${dset}/mixture2enrollment "$url"
+      m2e_args="${m2e_args} ${dset}:${data}/${dset}/mixture2enrollment"
+    done
+  fi
   python ../v2/local/prepare_librimix.py --librimix_dir ${librimix_dir} \
-      --out_dir ${data}
+      --out_dir ${data} ${m2e_args:+--mix2enroll ${m2e_args}}
 fi
 
 if [ ${stage} -le 2 ] && [ ${stop_stage} -ge 2 ]; then
@@ -48,7 +62,9 @@ if [ ${stage} -le 3 ] && [ ${stop_stage} -ge 3 ]; then
         ${data}/${part}/utt2spks \
         ${data}/${part}/shards ${data}/${part}/shards.list
   done
-  python -m wesep_tpu.bin.train --config ${config} \
+  train_module=wesep_tpu.bin.train
+  ${use_gan_loss} && train_module=wesep_tpu.bin.train_gan
+  python -m ${train_module} --config ${config} \
       --set train_spk_embeds=${data}/train/embed.scp \
       --set val_spk_embeds=${data}/dev/embed.scp
 fi

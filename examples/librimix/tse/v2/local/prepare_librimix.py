@@ -30,6 +30,16 @@ def get_args():
         default=["train-100:train", "dev:dev", "test:test"],
         help="librimix_split:out_split pairs",
     )
+    parser.add_argument(
+        "--mix2enroll", nargs="*", default=[],
+        help="out_split:path pairs pointing to the official BUT-speakerbeam"
+        " map_mixture2enrollment files (reference downloads them in"
+        " v2/local/prepare_data.sh:60-67). When given for a split, its"
+        " fixed dev/test enrollment maps are taken from the official file"
+        " so SI-SNRi numbers are like-for-like comparable with the"
+        " reference/paper; otherwise a deterministic per-seed map is"
+        " generated.",
+    )
     return parser.parse_args()
 
 
@@ -37,8 +47,26 @@ def spk_of(utt_id: str) -> str:
     return utt_id.split("-")[0]
 
 
+def read_mix2enroll(path: str):
+    """Parse a BUT-speakerbeam map_mixture2enrollment file.
+
+    Lines are `mix_id utt_id enroll_id`; the target slot is the position
+    of utt_id inside mix_id (reference
+    local/prepare_librimix_enroll.py:60-66).
+    """
+    out = {}
+    with open(path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            mix_id, utt_id, enroll_id = line.split()
+            sid = mix_id.split("_").index(utt_id) + 1
+            out[(mix_id, sid)] = enroll_id
+    return out
+
+
 def prepare_split(mix_dir: str, out_dir: str, rng: random.Random,
-                  fixed_enroll: bool):
+                  fixed_enroll: bool, mix2enroll_file: str = None):
     mix_both = os.path.join(mix_dir, "mix_both")
     if not os.path.isdir(mix_both):
         mix_both = os.path.join(mix_dir, "mix_clean")
@@ -74,16 +102,29 @@ def prepare_split(mix_dir: str, out_dir: str, rng: random.Random,
         json.dump(spk2utts, f, indent=1)
 
     if fixed_enroll:
-        # deterministic enrollment: for each mixture pick a DIFFERENT
-        # utterance of the same speaker (fall back to any)
         maps = {1: {}, 2: {}}
-        for utt in utts:
-            u1, u2 = utt.split("_")
-            for idx, u in ((1, u1), (2, u2)):
-                cands = [
-                    (cu, p) for cu, p in spk2utts[spk_of(u)] if cu != u
-                ] or spk2utts[spk_of(u)]
-                maps[idx][utt] = rng.choice(cands)
+        if mix2enroll_file:
+            # official BUT-speakerbeam fixed dev/test maps: bit-comparable
+            # with reference/paper results
+            official = read_mix2enroll(mix2enroll_file)
+            for utt in utts:
+                for idx in (1, 2):
+                    eu = official.get((utt, idx))
+                    if eu is None:
+                        raise KeyError(
+                            f"{utt} s{idx} missing from {mix2enroll_file}"
+                        )
+                    maps[idx][utt] = (eu, None)
+        else:
+            # deterministic enrollment: for each mixture pick a DIFFERENT
+            # utterance of the same speaker (fall back to any)
+            for utt in utts:
+                u1, u2 = utt.split("_")
+                for idx, u in ((1, u1), (2, u2)):
+                    cands = [
+                        (cu, p) for cu, p in spk2utts[spk_of(u)] if cu != u
+                    ] or spk2utts[spk_of(u)]
+                    maps[idx][utt] = rng.choice(cands)
         for idx in (1, 2):
             with open(
                 os.path.join(out_dir, f"spk{idx}_enroll"), "w"
@@ -103,6 +144,7 @@ def prepare_split(mix_dir: str, out_dir: str, rng: random.Random,
 def main():
     args = get_args()
     rng = random.Random(args.seed)
+    m2e = dict(p.split(":", 1) for p in args.mix2enroll)
     os.makedirs(os.path.join(args.out_dir, "musan"), exist_ok=True)
     for pair in args.splits:
         src, dst = pair.split(":")
@@ -110,7 +152,8 @@ def main():
         out_dir = os.path.join(args.out_dir, dst)
         print(f"preparing {src} -> {out_dir}")
         prepare_split(
-            mix_dir, out_dir, rng, fixed_enroll=dst in ("dev", "test")
+            mix_dir, out_dir, rng, fixed_enroll=dst in ("dev", "test"),
+            mix2enroll_file=m2e.get(dst),
         )
 
 

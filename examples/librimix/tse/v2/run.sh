@@ -15,13 +15,30 @@ config=confs/bsrnn.yaml
 exp_dir=$(python -c "import yaml,sys;print(yaml.safe_load(open('$config'))['exp_dir'])")
 num_avg=2
 gpus="" # unused on TPU; kept for CLI parity
+# MetricGAN fine-tuning (reference v2/run.sh:22,75-76): set true with
+# e.g. config=confs/dpcc_init_gan.yaml after a converged stage-3 run
+use_gan_loss=false
+# official BUT-speakerbeam fixed dev/test enrollment maps (reference
+# local/prepare_data.sh:60-67); set false to generate deterministic
+# per-seed maps instead (NOT comparable with published numbers)
+use_official_enroll_maps=true
 
 . ../../../../tools/parse_options.sh || true
 
 if [ ${stage} -le 1 ] && [ ${stop_stage} -ge 1 ]; then
   echo "stage 1: prepare data lists + enrollment maps + noise db"
+  m2e_args=""
+  if ${use_official_enroll_maps}; then
+    for dset in dev test; do
+      url="https://raw.githubusercontent.com/BUTSpeechFIT/speakerbeam/main/egs/libri2mix/data/wav8k/min/${dset}/map_mixture2enrollment"
+      mkdir -p ${data}/${dset}
+      [ -s ${data}/${dset}/mixture2enrollment ] || \
+        wget -O ${data}/${dset}/mixture2enrollment "$url"
+      m2e_args="${m2e_args} ${dset}:${data}/${dset}/mixture2enrollment"
+    done
+  fi
   python local/prepare_librimix.py --librimix_dir ${librimix_dir} \
-      --out_dir ${data}
+      --out_dir ${data} ${m2e_args:+--mix2enroll ${m2e_args}}
   if [ -d "${musan_dir}" ]; then
     find ${musan_dir} -name '*.wav' | \
       awk -F/ '{key=$(NF-2)"_"$NF; gsub(/\.wav$/,"",key); print key, $0}' \
@@ -45,10 +62,12 @@ fi
 
 if [ ${stage} -le 3 ] && [ ${stop_stage} -ge 3 ]; then
   echo "stage 3: train"
+  train_module=wesep_tpu.bin.train
+  ${use_gan_loss} && train_module=wesep_tpu.bin.train_gan
   ckpt=""
   latest=${exp_dir}/models/latest_checkpoint.ckpt
   [ -L ${latest} ] && ckpt="--checkpoint $(readlink -f ${latest})"
-  python -m wesep_tpu.bin.train --config ${config} ${ckpt}
+  python -m ${train_module} --config ${config} ${ckpt}
 fi
 
 if [ ${stage} -le 4 ] && [ ${stop_stage} -ge 4 ]; then

@@ -1,0 +1,160 @@
+"""Every recipe conf must be accepted by the training stack.
+
+The reference ships 12 confs across librimix v1/v2 and voxceleb1
+(/root/reference/examples/*/confs/); each has a counterpart here. These
+tests parse every conf and validate it against the actual code: model
+name resolves, model_args construct the flax module, losses parse,
+optimizer/scheduler names resolve, and (tiny-shape) the model runs a
+forward pass.
+"""
+
+import dataclasses
+import glob
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+import jax
+import jax.numpy as jnp
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CONFS = sorted(
+    glob.glob(os.path.join(REPO, "examples", "**", "confs", "*.yaml"),
+              recursive=True)
+)
+
+# tiny-shape overrides per model field name (keep every conf-declared
+# field, shrink the expensive dims)
+SHRINK = {
+    "feature_dim": 8,
+    "num_repeat": 1,
+    "tcn_blocks": 2,
+    "tcn_layers": 1,
+    "n_layers": 1,
+    "lstm_hidden_units": 8,
+    "attn_approx_qk_dim": 16,
+    "emb_dim": 4,
+    "conv_channels": 16,
+    "rnn_units": 16,
+    "enc_dim": 16,
+    "feat_dim": 16,
+    "proj_dim": 8,
+    "num_blocks": 2,
+    "num_repeats": 1,
+}
+
+
+def _load(path):
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def test_conf_inventory_matches_reference():
+    """Every reference conf file name has a counterpart conf here."""
+    ref_root = "/root/reference/examples"
+    if not os.path.isdir(ref_root):
+        pytest.skip("reference tree not mounted")
+    ref = sorted(
+        os.path.relpath(p, ref_root) for p in glob.glob(
+            os.path.join(ref_root, "**", "confs", "*.yaml"), recursive=True
+        )
+    )
+    have = {os.path.relpath(p, os.path.join(REPO, "examples"))
+            for p in CONFS}
+    # v1 bsrnn.yaml is named bsrnn_v1.yaml here (documented rename)
+    renames = {"librimix/tse/v1/confs/bsrnn.yaml":
+               "librimix/tse/v1/confs/bsrnn_v1.yaml"}
+    missing = [
+        r for r in ref
+        if r not in have and renames.get(r, r) not in have
+    ]
+    assert not missing, f"confs without counterpart: {missing}"
+
+
+@pytest.mark.parametrize(
+    "conf", CONFS, ids=[os.path.relpath(c, REPO) for c in CONFS]
+)
+def test_conf_is_accepted(conf):
+    from wesep_tpu.models import get_model
+    from wesep_tpu.train.losses import parse_loss
+    from wesep_tpu.train.schedulers import get_scheduler
+
+    configs = _load(conf)
+    # required top-level contract keys
+    for key in ("exp_dir", "model", "model_args", "optimizer",
+                "optimizer_args", "scheduler", "scheduler_args",
+                "dataset_args", "dataloader_args"):
+        assert key in configs, f"{conf} missing {key}"
+
+    parse_loss(configs.get("loss", "SISDR"))
+
+    for role, name in configs["model"].items():
+        cls = get_model(name)
+        args = dict(configs["model_args"].get(role) or {})
+        if role != "tse_model":
+            continue
+        fields = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(args) - fields
+        assert not unknown, f"{conf}: {name} rejects args {unknown}"
+        # shrink + drop pretrained-init path for the tiny forward
+        args.pop("spk_model_init", None)
+        for k, v in SHRINK.items():
+            if k in args and isinstance(args[k], int):
+                args[k] = min(args[k], v)
+        if "spk_args" in args and args.get("joint_training"):
+            args["spk_args"] = dict(args["spk_args"])
+            args["spk_args"]["embed_dim"] = min(
+                args["spk_args"].get("embed_dim", 64), 32
+            )
+            args["spk_emb_dim"] = args["spk_args"]["embed_dim"]
+        elif "spk_emb_dim" in args:
+            args["spk_emb_dim"] = min(args["spk_emb_dim"], 32)
+        model = cls(**args)
+
+        rng = np.random.default_rng(0)
+        t = 4000
+        mix = jnp.asarray(rng.standard_normal((1, t)).astype(np.float32))
+        if args.get("joint_training"):
+            if configs["dataset_args"].get("speaker_feat") and args.get(
+                "spk_feat"
+            ):
+                enroll = jnp.asarray(
+                    rng.standard_normal((1, 98, 80)).astype(np.float32)
+                )
+            else:
+                enroll = jnp.asarray(
+                    rng.standard_normal((1, t)).astype(np.float32)
+                )
+        else:
+            enroll = jnp.asarray(
+                rng.standard_normal(
+                    (1, args.get("spk_emb_dim", 32))
+                ).astype(np.float32)
+            )
+        variables = model.init(jax.random.PRNGKey(0), mix, enroll,
+                               train=False)
+        out = model.apply(variables, mix, enroll, train=False)
+        ests = out[0]
+        est = ests[0] if isinstance(ests, (list, tuple)) else ests
+        assert est.shape[-1] == t
+        assert np.isfinite(np.asarray(est)).all()
+
+    for role in configs["optimizer"]:
+        assert configs["optimizer"][role] in ("Adam", "AdamW", "SGD")
+        sched_name = configs["scheduler"][role]
+        sched_args = configs["scheduler_args"][role]
+        get_scheduler(
+            sched_name, num_epochs=1, epoch_iter=2, **sched_args
+        )
+
+
+def test_gan_confs_use_real_pesq():
+    """The shipped MetricGAN confs default to real on-device PESQ."""
+    gan_confs = [c for c in CONFS if "gan" in os.path.basename(c)]
+    assert gan_confs, "no GAN confs shipped"
+    for c in gan_confs:
+        configs = _load(c)
+        assert configs.get("gan_metric") == "pesq", c
+        assert "discriminator" in configs["model"], c
