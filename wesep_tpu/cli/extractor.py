@@ -36,9 +36,23 @@ class Extractor:
         model_args.pop("spk_model_init", None)
         self.model = get_model(configs["model"]["tse_model"])(**model_args)
         bundle = load_checkpoint(model_path)
-        self.variables = {"params": bundle["models"][0]}
+        loaded = bundle["models"][0]
+        self.variables = {"params": loaded}
         if bundle.get("batch_stats") and bundle["batch_stats"][0]:
             self.variables["batch_stats"] = bundle["batch_stats"][0]
+        missing = self._missing_subtrees(configs, loaded)
+        if missing:
+            # partial checkpoint (e.g. converter output without the
+            # wespeaker speaker branch): merge over a fresh init — the
+            # reference's load_pretrained_model(strict=False) semantics
+            # (wesep/utils/checkpoint.py:8-27)
+            print(
+                "WARNING: checkpoint missing param subtrees "
+                f"{sorted(missing)}; initializing them randomly "
+                "(quality degraded until those weights are trained or "
+                "converted)"
+            )
+            self.variables = self._merge_with_init(configs, loaded)
 
         self.resample_rate = configs["dataset_args"].get(
             "resample_rate", 16000
@@ -51,6 +65,33 @@ class Extractor:
         self._jit_forward = jax.jit(
             lambda v, m, e: self.model.apply(v, m, e, train=False)[0]
         )
+
+    def _missing_subtrees(self, configs, loaded):
+        import jax
+        import jax.numpy as jnp
+
+        sr = configs["dataset_args"].get("resample_rate", 16000)
+        margs = configs["model_args"]["tse_model"]
+        if margs.get("spk_feat") and margs.get("joint_training"):
+            cue = jnp.zeros((1, 98, margs.get(
+                "spk_args", {}).get("feat_dim", 80)))
+        elif margs.get("joint_training"):
+            cue = jnp.zeros((1, sr))
+        else:
+            cue = jnp.zeros((1, margs.get("spk_emb_dim", 256)))
+        self._init_args = (jnp.zeros((1, sr)), cue)
+        init_vars = jax.jit(
+            self.model.init, static_argnames=("train",)
+        )(jax.random.PRNGKey(0), *self._init_args, train=False)
+        self._init_vars = init_vars
+        return set(init_vars["params"]) - set(loaded)
+
+    def _merge_with_init(self, configs, loaded):
+        variables = dict(self._init_vars)
+        params = dict(variables["params"])
+        params.update(loaded)
+        variables["params"] = params
+        return variables
 
     def set_wavform_norm(self, wavform_norm: bool):
         self.wavform_norm = wavform_norm

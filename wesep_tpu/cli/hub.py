@@ -45,6 +45,7 @@ class Hub:
             with tarfile.open(target) as tar:
                 tar.extractall(model_dir)
             os.remove(target)
+            Hub._normalize_model_dir(model_dir)
             with open(marker, "w") as f:
                 f.write("ok\n")
             return model_dir
@@ -53,3 +54,39 @@ class Hub:
                 f"failed to download pretrained model ({e}); pass a local "
                 "model dir (config.yaml + avg_model.ckpt) via -p/--pretrain"
             ) from e
+
+    @staticmethod
+    def _normalize_model_dir(model_dir: str) -> None:
+        """Make an extracted archive loadable by the Extractor.
+
+        Released reference archives (hub layout, reference
+        cli/hub.py:87-123) contain config.yaml + torch avg_model.pt;
+        archives published for this stack contain avg_model.ckpt
+        directly. Flatten a single top-level archive subdir and
+        auto-convert a torch checkpoint via tools/convert_torch_checkpoint
+        (separator core; the wespeaker speaker branch is re-initialized —
+        the Extractor warns about the quality caveat)."""
+        entries = [e for e in os.listdir(model_dir)
+                   if not e.startswith(".")]
+        if len(entries) == 1 and os.path.isdir(
+            os.path.join(model_dir, entries[0])
+        ):
+            sub = os.path.join(model_dir, entries[0])
+            for item in os.listdir(sub):
+                os.replace(os.path.join(sub, item),
+                           os.path.join(model_dir, item))
+            os.rmdir(sub)
+        ckpt = os.path.join(model_dir, "avg_model.ckpt")
+        pt = os.path.join(model_dir, "avg_model.pt")
+        if not os.path.exists(ckpt) and os.path.exists(pt):
+            import subprocess
+            import sys
+
+            subprocess.run(
+                [sys.executable, "-m",
+                 "wesep_tpu.tools.convert_torch_checkpoint",
+                 "--torch_ckpt", pt,
+                 "--config", os.path.join(model_dir, "config.yaml"),
+                 "--out", ckpt],
+                check=True,
+            )
