@@ -101,6 +101,18 @@ def main():
     elapsed = time.perf_counter() - start
 
     audio_sec_per_sec = BATCH * CHUNK_SEC * n_steps / elapsed
+
+    details = {
+        "bsrnn_train_audio_sec_per_sec_1chip": round(audio_sec_per_sec, 2),
+        "bsrnn_train_ms_per_step": round(elapsed / n_steps * 1e3, 2),
+    }
+    details.update(_mfu(step, state, batch, elapsed / n_steps))
+    try:
+        with open("BENCH_DETAILS.json", "w") as f:
+            json.dump(details, f, indent=1)
+    except OSError:
+        pass
+
     print(
         json.dumps(
             {
@@ -113,6 +125,27 @@ def main():
             }
         )
     )
+
+
+def _mfu(step, state, batch, sec_per_step):
+    """Model-FLOPs-utilization of the compiled train step (XLA's own
+    flop count / measured time / chip peak). v5e peak: 197 TFLOP/s bf16."""
+    try:
+        compiled = step.lower(state, batch).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops <= 0:
+            return {}
+        peak = 197e12
+        mfu = flops / sec_per_step / peak
+        return {
+            "bsrnn_train_gflops_per_step": round(flops / 1e9, 1),
+            "bsrnn_train_mfu_pct_v5e_bf16": round(mfu * 100, 2),
+        }
+    except Exception:
+        return {}
 
 
 if __name__ == "__main__":

@@ -132,3 +132,71 @@ def test_lstm_fused_gradient_parity(reverse):
             np.asarray(a), np.asarray(c), atol=3e-3, rtol=2e-3,
             err_msg=f"grad {i}",
         )
+
+
+def _ref_bilstm(x, wx_f, b_f, wh_f, wx_b, b_b, wh_b):
+    """Reference via the two-pass scan path."""
+    def one(wx, b, wh, reverse):
+        xw = jnp.einsum("btd,dh->bth", x, wx,
+                        preferred_element_type=jnp.float32)
+        xw = (xw + b).astype(x.dtype)
+        ys = _scan_lstm(jnp.swapaxes(xw, 0, 1), wh, reverse)
+        return jnp.swapaxes(ys, 0, 1)
+
+    return jnp.concatenate(
+        [one(wx_f, b_f, wh_f, False), one(wx_b, b_b, wh_b, True)], axis=-1
+    )
+
+
+def _bi_inputs(seed=2, b=8, t=10, d=64, h=128):
+    rng = np.random.default_rng(seed)
+    r = lambda *s: jnp.asarray(  # noqa: E731
+        rng.standard_normal(s).astype(np.float32) * 0.2
+    )
+    return (r(b, t, d), r(d, 4 * h), r(4 * h), r(h, 4 * h),
+            r(d, 4 * h), r(4 * h), r(h, 4 * h))
+
+
+def test_bilstm_fused_forward_parity():
+    from wesep_tpu.ops.pallas_lstm import bilstm_fused
+
+    args = _bi_inputs()
+    got = bilstm_fused(*args)
+    want = _ref_bilstm(*args)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_bilstm_fused_gradient_parity():
+    from wesep_tpu.ops.pallas_lstm import bilstm_fused
+
+    args = _bi_inputs(seed=3, b=8, t=6, d=64, h=128)
+
+    def loss_fused(*a):
+        return jnp.sum(jnp.tanh(bilstm_fused(*a)))
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.tanh(_ref_bilstm(*a)))
+
+    got = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    want = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    for i, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), atol=2e-4, rtol=1e-3,
+            err_msg=f"grad argnum {i}",
+        )
+
+
+def test_module_bilstm_uses_fused_kernel_numerics():
+    """models.common.LSTM (bidirectional) stays scan-equivalent through
+    the rnn.bilstm dispatch layer."""
+    from wesep_tpu.ops.rnn import bilstm
+
+    args = _bi_inputs(seed=4, b=5, t=7, d=64, h=128)  # b=5: pad path
+    got = bilstm(args[0], args[1], args[3], args[2], args[4], args[6],
+                 args[5])
+    want = _ref_bilstm(*args)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+    )

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["lstm_pallas", "pallas_available"]
+__all__ = ["lstm_pallas", "lstm_fused", "bilstm_fused", "pallas_available"]
 
 
 def pallas_available() -> bool:
@@ -302,3 +302,331 @@ def _fused_bwd(reverse, res, dys):
 
 
 lstm_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---- fused BIDIRECTIONAL kernel ---------------------------------------------
+#
+# A bidirectional LSTM as two pallas_calls leaves the MXU half idle: each
+# sequential step is one small [B_tile, H] @ [H, 4H] dot whose result the
+# VPU must gate before the next dot can issue. Fusing both directions into
+# ONE kernel gives every grid step two INDEPENDENT recurrences (forward at
+# time t, backward at time T-1-t): while the VPU gates one direction's
+# dot, the other direction's dot runs on the MXU — pipelining away the
+# dependency bubble (the PARITY.md "fuse both directions" lever).
+
+
+def _pick_b_tile_bi(b: int, h4: int, dtype) -> int:
+    """Batch tile for the bidirectional kernels (twice the streams of the
+    unidirectional ones — halve the VMEM budget)."""
+    bytes_per = 2 if dtype == jnp.bfloat16 else 4
+    budget = 5 * 1024 * 1024
+    tile = max(budget // (6 * h4 * max(bytes_per, 4)), 8)
+    tile = (tile // 8) * 8
+    tile = min(tile, b)
+    while tile > 1 and b % tile:
+        tile -= 8 if tile > 8 else 1
+    return max(tile, 1)
+
+
+def _bi_forward(xw_f, xw_b, wh_f, wh_b):
+    t_len, b, h4 = xw_f.shape
+    h = h4 // 4
+    b_tile = _pick_b_tile_bi(b, h4, xw_f.dtype)
+    nb = b // b_tile
+    interpret = not pallas_available()
+
+    def gates(xw_blk, h_state, wh_ref):
+        g = xw_blk.astype(jnp.float32) + jnp.dot(
+            h_state.astype(xw_blk.dtype),
+            wh_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        i = jax.nn.sigmoid(g[:, :h])
+        f = jax.nn.sigmoid(g[:, h:2 * h])
+        gg = jnp.tanh(g[:, 2 * h:3 * h])
+        o = jax.nn.sigmoid(g[:, 3 * h:])
+        return i, f, gg, o
+
+    def kernel(xwf_ref, xwb_ref, whf_ref, whb_ref,
+               ysf_ref, ysb_ref, csf_ref, csb_ref,
+               hf_ref, cf_ref, hb_ref, cb_ref):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            hf_ref[:] = jnp.zeros_like(hf_ref)
+            cf_ref[:] = jnp.zeros_like(cf_ref)
+            hb_ref[:] = jnp.zeros_like(hb_ref)
+            cb_ref[:] = jnp.zeros_like(cb_ref)
+
+        # the two dots are data-independent: Mosaic overlaps dot(b) with
+        # the VPU gate math of (f) and vice versa
+        i_f, f_f, g_f, o_f = gates(xwf_ref[0], hf_ref[:], whf_ref)
+        i_b, f_b, g_b, o_b = gates(xwb_ref[0], hb_ref[:], whb_ref)
+
+        c_f = f_f * cf_ref[:] + i_f * g_f
+        h_f = o_f * jnp.tanh(c_f)
+        cf_ref[:] = c_f
+        hf_ref[:] = h_f
+        ysf_ref[0] = h_f.astype(ysf_ref.dtype)
+        csf_ref[0] = c_f
+
+        c_b = f_b * cb_ref[:] + i_b * g_b
+        h_b = o_b * jnp.tanh(c_b)
+        cb_ref[:] = c_b
+        hb_ref[:] = h_b
+        ysb_ref[0] = h_b.astype(ysb_ref.dtype)
+        csb_ref[0] = c_b
+
+    fwd_ix = lambda bi, t: (t, bi, 0)  # noqa: E731
+    bwd_ix = lambda bi, t: (t_len - 1 - t, bi, 0)  # noqa: E731
+    wh_ix = lambda bi, t: (0, 0)  # noqa: E731
+    ys_f, ys_b, cs_f, cs_b = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((t_len, b, h), xw_f.dtype),
+            jax.ShapeDtypeStruct((t_len, b, h), xw_f.dtype),
+            jax.ShapeDtypeStruct((t_len, b, h), jnp.float32),
+            jax.ShapeDtypeStruct((t_len, b, h), jnp.float32),
+        ),
+        grid=(nb, t_len),
+        in_specs=[
+            pl.BlockSpec((1, b_tile, h4), fwd_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h4), bwd_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h4), wh_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h4), wh_ix, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, b_tile, h), fwd_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), bwd_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), fwd_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), bwd_ix, memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b_tile, h), jnp.float32),
+            pltpu.VMEM((b_tile, h), jnp.float32),
+            pltpu.VMEM((b_tile, h), jnp.float32),
+            pltpu.VMEM((b_tile, h), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xw_f, xw_b, wh_f, wh_b)
+    return ys_f, ys_b, cs_f, cs_b
+
+
+def _bi_backward(xw_f, xw_b, wh_f, wh_b, ys_f, ys_b, cs_f, cs_b,
+                 dys_f, dys_b):
+    t_len, b, h4 = xw_f.shape
+    h = h4 // 4
+    b_tile = _pick_b_tile_bi(b, h4, xw_f.dtype)
+    nb = b // b_tile
+    interpret = not pallas_available()
+
+    def adjoint(xw_blk, wh_ref, h_prev, c_prev, c_t, dy_blk, dh, dc):
+        """One direction's adjoint step -> (dgates, dh_prev, dc_prev,
+        dwh_inc)."""
+        g = xw_blk.astype(jnp.float32) + jnp.dot(
+            h_prev.astype(xw_blk.dtype),
+            wh_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        i = jax.nn.sigmoid(g[:, :h])
+        f = jax.nn.sigmoid(g[:, h:2 * h])
+        gg = jnp.tanh(g[:, 2 * h:3 * h])
+        o = jax.nn.sigmoid(g[:, 3 * h:])
+        tanh_c = jnp.tanh(c_t)
+        dh_total = dy_blk.astype(jnp.float32) + dh
+        do = dh_total * tanh_c
+        dct = dh_total * o * (1.0 - tanh_c * tanh_c) + dc
+        dgi = (dct * gg) * i * (1.0 - i)
+        dgf = (dct * c_prev) * f * (1.0 - f)
+        dgc = (dct * i) * (1.0 - gg * gg)
+        dgo = do * o * (1.0 - o)
+        dgates = jnp.concatenate([dgi, dgf, dgc, dgo], axis=-1)
+        dh_prev = jnp.dot(
+            dgates.astype(xw_blk.dtype), wh_ref[:].T,
+            preferred_element_type=jnp.float32,
+        )
+        dwh_inc = jnp.dot(
+            h_prev.astype(xw_blk.dtype).T, dgates.astype(xw_blk.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return dgates, dh_prev, dct * f, dwh_inc
+
+    def kernel(xwf_ref, xwb_ref, whf_ref, whb_ref,
+               yspf_ref, yspb_ref, cspf_ref, cspb_ref,
+               csf_ref, csb_ref, dysf_ref, dysb_ref,
+               dxwf_ref, dxwb_ref, dwhf_ref, dwhb_ref,
+               dhf, dcf, dhb, dcb, dwhf_acc, dwhb_acc):
+        tr = pl.program_id(1)
+
+        @pl.when(tr == 0)
+        def _():
+            dhf[:] = jnp.zeros_like(dhf)
+            dcf[:] = jnp.zeros_like(dcf)
+            dhb[:] = jnp.zeros_like(dhb)
+            dcb[:] = jnp.zeros_like(dcb)
+            dwhf_acc[:] = jnp.zeros_like(dwhf_acc)
+            dwhb_acc[:] = jnp.zeros_like(dwhb_acc)
+
+        is_boundary = tr == t_len - 1
+        hp_f = jnp.where(
+            is_boundary, jnp.zeros_like(yspf_ref[0]), yspf_ref[0]
+        ).astype(jnp.float32)
+        cp_f = jnp.where(is_boundary, jnp.zeros_like(cspf_ref[0]),
+                         cspf_ref[0])
+        hp_b = jnp.where(
+            is_boundary, jnp.zeros_like(yspb_ref[0]), yspb_ref[0]
+        ).astype(jnp.float32)
+        cp_b = jnp.where(is_boundary, jnp.zeros_like(cspb_ref[0]),
+                         cspb_ref[0])
+
+        dg_f, dhp_f, dcp_f, dwi_f = adjoint(
+            xwf_ref[0], whf_ref, hp_f, cp_f, csf_ref[0], dysf_ref[0],
+            dhf[:], dcf[:],
+        )
+        dg_b, dhp_b, dcp_b, dwi_b = adjoint(
+            xwb_ref[0], whb_ref, hp_b, cp_b, csb_ref[0], dysb_ref[0],
+            dhb[:], dcb[:],
+        )
+        dxwf_ref[0] = dg_f.astype(dxwf_ref.dtype)
+        dhf[:] = dhp_f
+        dcf[:] = dcp_f
+        dwhf_acc[:] += dwi_f
+        dxwb_ref[0] = dg_b.astype(dxwb_ref.dtype)
+        dhb[:] = dhp_b
+        dcb[:] = dcp_b
+        dwhb_acc[:] += dwi_b
+
+        @pl.when(is_boundary)
+        def _():
+            dwhf_ref[0] = dwhf_acc[:]
+            dwhb_ref[0] = dwhb_acc[:]
+
+    # fwd scan order t = 0..T-1 -> adjoint cur = T-1-tr, prev = cur-1;
+    # bwd scan order t = T-1..0 -> adjoint cur = tr, prev = tr+1
+    cur_f = lambda bi, tr: (t_len - 1 - tr, bi, 0)  # noqa: E731
+    prev_f = lambda bi, tr: (jnp.maximum(t_len - 2 - tr, 0), bi, 0)  # noqa: E731,E501
+    cur_b = lambda bi, tr: (tr, bi, 0)  # noqa: E731
+    prev_b = lambda bi, tr: (jnp.minimum(tr + 1, t_len - 1), bi, 0)  # noqa: E731,E501
+    wh_ix = lambda bi, tr: (0, 0)  # noqa: E731
+
+    dxw_f, dxw_b, dwhf_tiles, dwhb_tiles = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((t_len, b, h4), xw_f.dtype),
+            jax.ShapeDtypeStruct((t_len, b, h4), xw_f.dtype),
+            jax.ShapeDtypeStruct((nb, h, h4), jnp.float32),
+            jax.ShapeDtypeStruct((nb, h, h4), jnp.float32),
+        ),
+        grid=(nb, t_len),
+        in_specs=[
+            pl.BlockSpec((1, b_tile, h4), cur_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h4), cur_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h4), wh_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h4), wh_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), prev_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), prev_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), prev_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), prev_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), cur_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), cur_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), cur_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), cur_b, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, b_tile, h4), cur_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h4), cur_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, h4), lambda bi, tr: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, h4), lambda bi, tr: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b_tile, h), jnp.float32),
+            pltpu.VMEM((b_tile, h), jnp.float32),
+            pltpu.VMEM((b_tile, h), jnp.float32),
+            pltpu.VMEM((b_tile, h), jnp.float32),
+            pltpu.VMEM((h, h4), jnp.float32),
+            pltpu.VMEM((h, h4), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xw_f, xw_b, wh_f, wh_b, ys_f, ys_b, cs_f, cs_b, cs_f, cs_b,
+      dys_f, dys_b)
+    return (
+        dxw_f,
+        dxw_b,
+        jnp.sum(dwhf_tiles, axis=0),
+        jnp.sum(dwhb_tiles, axis=0),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def bilstm_fused(x, wx_f, b_f, wh_f, wx_b, b_b, wh_b):
+    """Fused bidirectional LSTM layer -> [B, T, 2H].
+
+    Both recurrences run inside ONE Pallas kernel (see _bi_forward) with
+    memory-lean residuals: xw is recomputed in the backward pass, only
+    (x, ys, cs) are saved — same policy as lstm_fused.
+    """
+    ys, _ = _bi_fused_fwd_impl(x, wx_f, b_f, wh_f, wx_b, b_b, wh_b)
+    return ys
+
+
+def _bi_fused_fwd_impl(x, wx_f, b_f, wh_f, wx_b, b_b, wh_b):
+    xw_f = _xw_time_major(x, wx_f, b_f)
+    xw_b = _xw_time_major(x, wx_b, b_b)
+    ys_f, ys_b, cs_f, cs_b = _bi_forward(
+        xw_f, xw_b, wh_f.astype(x.dtype), wh_b.astype(x.dtype)
+    )
+    ys = jnp.concatenate(
+        [jnp.swapaxes(ys_f, 0, 1), jnp.swapaxes(ys_b, 0, 1)], axis=-1
+    )
+    return ys, (ys_f, ys_b, cs_f, cs_b)
+
+
+def _bi_fused_fwd(x, wx_f, b_f, wh_f, wx_b, b_b, wh_b):
+    ys, (ys_f, ys_b, cs_f, cs_b) = _bi_fused_fwd_impl(
+        x, wx_f, b_f, wh_f, wx_b, b_b, wh_b
+    )
+    return ys, (x, wx_f, b_f, wh_f, wx_b, b_b, wh_b, ys_f, ys_b, cs_f,
+                cs_b)
+
+
+def _bi_fused_bwd(res, dys):
+    (x, wx_f, b_f, wh_f, wx_b, b_b, wh_b, ys_f, ys_b, cs_f, cs_b) = res
+    h = wh_f.shape[0]
+    xw_f = _xw_time_major(x, wx_f, b_f)  # recomputed
+    xw_b = _xw_time_major(x, wx_b, b_b)
+    dys_f = jnp.swapaxes(dys[..., :h], 0, 1).astype(x.dtype)
+    dys_b = jnp.swapaxes(dys[..., h:], 0, 1).astype(x.dtype)
+    dxw_f, dxw_b, dwh_f, dwh_b = _bi_backward(
+        xw_f, xw_b, wh_f.astype(x.dtype), wh_b.astype(x.dtype),
+        ys_f, ys_b, cs_f, cs_b, dys_f, dys_b,
+    )
+
+    def grads(dxw, wx):
+        dxw_bm = jnp.swapaxes(dxw, 0, 1)
+        dx = jnp.einsum(
+            "bth,dh->btd", dxw_bm, wx.astype(dxw_bm.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        dwx = jnp.einsum(
+            "btd,bth->dh", x, dxw_bm, preferred_element_type=jnp.float32
+        ).astype(wx.dtype)
+        db = jnp.sum(dxw_bm.astype(jnp.float32), axis=(0, 1))
+        return dx, dwx, db
+
+    dx_f, dwx_f, db_f = grads(dxw_f, wx_f)
+    dx_b, dwx_b, db_b = grads(dxw_b, wx_b)
+    return (
+        dx_f + dx_b,
+        dwx_f,
+        db_f.astype(b_f.dtype),
+        dwh_f.astype(wh_f.dtype),
+        dwx_b,
+        db_b.astype(b_b.dtype),
+        dwh_b.astype(wh_b.dtype),
+    )
+
+
+bilstm_fused.defvjp(_bi_fused_fwd, _bi_fused_bwd)

@@ -95,7 +95,24 @@ def lstm(x, wx, wh, b, reverse=False):
 
 
 def bilstm(x, wx_f, wh_f, b_f, wx_b, wh_b, b_b):
-    """Bidirectional LSTM: concat(forward, backward) -> [B, T, 2H]."""
+    """Bidirectional LSTM: concat(forward, backward) -> [B, T, 2H].
+
+    On TPU both directions run fused in ONE Pallas kernel — the two
+    recurrences are data-independent, so each grid step has two
+    concurrent MXU dots that hide each other's VPU gate latency
+    (ops/pallas_lstm.bilstm_fused)."""
+    hidden = wh_f.shape[0]
+    batch = x.shape[0]
+    if _use_pallas(batch, hidden):
+        from wesep_tpu.ops.pallas_lstm import bilstm_fused
+
+        pad = (-batch) % 8
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+        ys = bilstm_fused(x, wx_f, b_f, wh_f, wx_b, b_b, wh_b)
+        if pad:
+            ys = ys[:batch]
+        return ys
     fwd = lstm(x, wx_f, wh_f, b_f, reverse=False)
     bwd = lstm(x, wx_b, wh_b, b_b, reverse=True)
     return jnp.concatenate([fwd, bwd], axis=-1)
