@@ -212,6 +212,7 @@ def train_gan(config: str, checkpoint=None, overrides=None, **kwargs):
         }
 
     states = (g_state, d_state)
+    g_curve, v_curve = [], []
     for epoch in range(1, configs["num_epochs"] + 1):
         train_loader.set_epoch(epoch)
         losses = []
@@ -235,6 +236,33 @@ def train_gan(config: str, checkpoint=None, overrides=None, **kwargs):
             epoch, avg["loss"], avg["se_loss"], avg["d_loss"],
             float(np.mean(val_losses)),
         )
+        g_curve.append(avg["loss"])
+        v_curve.append(float(np.mean(val_losses)))
+        if rank == 0:
+            # per-epoch loss curve (reference bin/train_gan.py plots the
+            # same figure each epoch)
+            try:
+                import matplotlib
+
+                matplotlib.use("Agg")
+                import matplotlib.pyplot as plt
+
+                plt.figure()
+                plt.title("Loss of Train and Validation")
+                x = list(range(1, epoch + 1))
+                plt.plot(x, g_curve, "b-", label="Train Loss",
+                         linewidth=0.8)
+                plt.plot(x, v_curve, "c-", label="Validation Loss",
+                         linewidth=0.8)
+                plt.legend()
+                plt.xlabel("Epoch")
+                plt.ylabel("Loss")
+                plt.savefig(os.path.join(
+                    exp_dir, f"{configs['model']['tse_model']}_gan.png"
+                ))
+                plt.close()
+            except Exception:
+                pass
         if rank == 0 and epoch % configs.get("save_epoch_interval", 1) == 0:
             save_checkpoint(
                 os.path.join(model_dir, f"checkpoint_{epoch}.ckpt"),
