@@ -3,10 +3,16 @@
 // same CLI surface (single utterance or 4-column wav_scp), per-utterance
 // and total RTF logging, <key>-spk{1,2}.wav outputs. Flags are parsed with
 // a tiny built-in parser (no gflags dependency in this build).
+#include <dlfcn.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
 #include <cstdio>
 #include <cstring>
+#include <functional>
 #include <iostream>
 #include <map>
+#include <memory>
 #include <string>
 #include <vector>
 
@@ -72,6 +78,70 @@ bool ParseFlags(int argc, char** argv, Flags* flags) {
   return true;
 }
 
+bool FileExists(const std::string& path) {
+  struct stat st;
+  return stat(path.c_str(), &st) == 0;
+}
+
+// The TF engine is dlopen'ed on demand: libtensorflow's absl/protobuf
+// symbols clash with jaxlib's if both are mapped in one process, so the
+// binary must not link TF — only the SavedModel path loads it, and the
+// embedded-CPython path never sees TF symbols.
+struct TfEngineLib {
+  void* (*create)(const char*, int, int, char*, int);
+  int (*sample_rate)(void*);
+  int (*forward)(void*, const float*, int, const float*, int, const float*,
+                 int, char*, int);
+  const float* (*output)(void*, int, int*);
+  void (*destroy)(void*);
+
+  static TfEngineLib* Load(const char* argv0) {
+    // look next to the binary first, then LD_LIBRARY_PATH
+    std::vector<std::string> candidates;
+    char exe[4096];
+    ssize_t n = readlink("/proc/self/exe", exe, sizeof(exe) - 1);
+    if (n > 0) {
+      exe[n] = '\0';
+      std::string dir(exe);
+      size_t slash = dir.rfind('/');
+      if (slash != std::string::npos) {
+        candidates.push_back(dir.substr(0, slash + 1) +
+                             "libwesep_tf_engine.so");
+      }
+    }
+    (void)argv0;
+    candidates.push_back("libwesep_tf_engine.so");
+    void* so = nullptr;
+    for (const auto& c : candidates) {
+      so = dlopen(c.c_str(), RTLD_NOW | RTLD_LOCAL);
+      if (so != nullptr) break;
+    }
+    if (so == nullptr) {
+      std::cerr << "cannot load libwesep_tf_engine.so: " << dlerror()
+                << "\n";
+      return nullptr;
+    }
+    auto* lib = new TfEngineLib;
+    lib->create = reinterpret_cast<decltype(lib->create)>(
+        dlsym(so, "wesep_tf_engine_create"));
+    lib->sample_rate = reinterpret_cast<decltype(lib->sample_rate)>(
+        dlsym(so, "wesep_tf_engine_sample_rate"));
+    lib->forward = reinterpret_cast<decltype(lib->forward)>(
+        dlsym(so, "wesep_tf_engine_forward"));
+    lib->output = reinterpret_cast<decltype(lib->output)>(
+        dlsym(so, "wesep_tf_engine_output"));
+    lib->destroy = reinterpret_cast<decltype(lib->destroy)>(
+        dlsym(so, "wesep_tf_engine_destroy"));
+    if (lib->create == nullptr || lib->forward == nullptr ||
+        lib->output == nullptr) {
+      std::cerr << "libwesep_tf_engine.so is missing symbols\n";
+      delete lib;
+      return nullptr;
+    }
+    return lib;
+  }
+};
+
 std::vector<float> Mono(const wesep::WavReader& reader) {
   const auto& data = reader.data();
   int nch = reader.num_channels();
@@ -91,8 +161,67 @@ int main(int argc, char** argv) {
   Flags flags;
   if (!ParseFlags(argc, argv, &flags)) return 1;
 
-  wesep::SeparateEngine engine(flags.model_path, flags.feat_dim,
-                               flags.sample_rate);
+  // engine selection: a TF SavedModel export (saved_model.pb) runs
+  // Python-free through the TF C API; anything else goes through the
+  // embedded-CPython XLA engine
+  std::string sm_dir;
+  if (FileExists(flags.model_path + "/saved_model.pb")) {
+    sm_dir = flags.model_path;
+  } else if (FileExists(flags.model_path + "/saved_model/saved_model.pb")) {
+    sm_dir = flags.model_path + "/saved_model";
+  }
+  std::function<void(const std::vector<float>&, const std::vector<float>&,
+                     const std::vector<float>&,
+                     std::vector<std::vector<float>>*)>
+      forward;
+  int engine_sr = flags.sample_rate;
+  std::unique_ptr<wesep::SeparateEngine> py_engine;
+  TfEngineLib* tf_lib = nullptr;
+  void* tf_handle = nullptr;
+  if (!sm_dir.empty()) {
+    tf_lib = TfEngineLib::Load(argv[0]);
+    if (tf_lib == nullptr) {
+      std::cerr << "model is a TF SavedModel but the TF engine library "
+                << "is unavailable (build with WESEP_WITH_TF=ON)\n";
+      return 1;
+    }
+    char err[1024] = {0};
+    tf_handle = tf_lib->create(sm_dir.c_str(), flags.feat_dim,
+                               flags.sample_rate, err, sizeof(err));
+    if (tf_handle == nullptr) {
+      std::cerr << "TF engine init failed: " << err << "\n";
+      return 1;
+    }
+    engine_sr = tf_lib->sample_rate(tf_handle);
+    forward = [&](const std::vector<float>& m, const std::vector<float>& a,
+                  const std::vector<float>& b,
+                  std::vector<std::vector<float>>* o) {
+      char ferr[1024] = {0};
+      int streams = tf_lib->forward(tf_handle, m.data(), m.size(), a.data(),
+                                    a.size(), b.data(), b.size(), ferr,
+                                    sizeof(ferr));
+      if (streams == 0) {
+        std::cerr << "TF engine forward failed: " << ferr << "\n";
+        std::exit(1);
+      }
+      o->clear();
+      for (int i = 0; i < streams; ++i) {
+        int len = 0;
+        const float* data = tf_lib->output(tf_handle, i, &len);
+        o->emplace_back(data, data + len);
+      }
+    };
+    std::printf("engine: tensorflow (python-free)\n");
+  } else {
+    py_engine = std::make_unique<wesep::SeparateEngine>(
+        flags.model_path, flags.feat_dim, flags.sample_rate);
+    engine_sr = py_engine->sample_rate();
+    forward = [&](const std::vector<float>& m, const std::vector<float>& a,
+                  const std::vector<float>& b,
+                  std::vector<std::vector<float>>* o) {
+      py_engine->ForwardFunc(m, a, b, o);
+    };
+  }
 
   // utterances: key, mix, enroll1, enroll2
   std::vector<std::vector<std::string>> utts;
@@ -120,7 +249,7 @@ int main(int argc, char** argv) {
 
     wesep::Timer timer;
     std::vector<std::vector<float>> outputs;
-    engine.ForwardFunc(mix, e1, e2, &outputs);
+    forward(mix, e1, e2, &outputs);
     long ms = timer.Elapsed();
     total_decode_ms += ms;
     total_audio_sec += audio_sec;
@@ -131,7 +260,7 @@ int main(int argc, char** argv) {
       std::string out_path = flags.result_dir + "/" + key + "-spk" +
                              std::to_string(i + 1) + ".wav";
       wesep::WriteWavFile(out_path, outputs[i].data(), outputs[i].size(),
-                          engine.sample_rate());
+                          engine_sr);
     }
   }
   if (total_audio_sec > 0) {
@@ -139,5 +268,6 @@ int main(int argc, char** argv) {
                 total_decode_ms, total_audio_sec,
                 (total_decode_ms / 1000.0) / total_audio_sec);
   }
+  if (tf_handle != nullptr) tf_lib->destroy(tf_handle);
   return 0;
 }

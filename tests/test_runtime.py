@@ -125,3 +125,100 @@ def test_separate_main_end_to_end(runtime_build, tmp_path):
         wav, osr = read_wav(os.path.join(out_dir, f"utt-spk{i}.wav"))
         assert osr == sr and wav.shape[1] == t
         assert np.isfinite(wav).all()
+
+
+def test_tf_engine_python_free(runtime_build, tmp_path):
+    """SavedModel export -> separate_main runs it through the TF C API
+    with no Python: the fully self-contained serving path (counterpart of
+    the reference's LibTorch engine). Output must match the embedded-
+    Python XLA engine's decode of the same model."""
+    pytest.importorskip("tensorflow")
+    from wesep_tpu.bin.export import export_model
+    from wesep_tpu.data.wav_io import read_wav, write_wav
+    from wesep_tpu.models.bsrnn import BSRNN
+    from wesep_tpu.train.checkpoint import save_checkpoint
+
+    margs = dict(
+        spk_emb_dim=32, feature_dim=8, num_repeat=1, joint_training=True,
+        use_spk_transform=False, spk_fuse_type="multiply",
+        multi_fuse=False, spk_model="ResNet18",
+        spk_args={"feat_dim": 80, "embed_dim": 32, "two_emb_layer": False},
+        spk_feat=True, remat=False,
+    )
+    model = BSRNN(**margs)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), jnp.zeros((2, 4000)),
+        jnp.zeros((2, 50, 80)), train=False,
+    )
+    model_dir = str(tmp_path / "mdl")
+    os.makedirs(model_dir)
+    ckpt = os.path.join(model_dir, "avg_model.ckpt")
+    save_checkpoint(ckpt, [variables["params"]],
+                    batch_stats=[variables.get("batch_stats", {})])
+    cfg_path = os.path.join(model_dir, "config.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump({
+            "model": {"tse_model": "BSRNN"},
+            "model_args": {"tse_model": margs},
+            "dataset_args": {"resample_rate": 16000},
+        }, f)
+    export_model(cfg_path, ckpt, str(tmp_path / "export"), batch=2,
+                 samples=8000, enroll_frames=48, fmt="savedmodel")
+    assert os.path.exists(
+        tmp_path / "export" / "saved_model" / "saved_model.pb"
+    )
+    assert os.path.exists(
+        tmp_path / "export" / "saved_model" / "wesep_manifest.txt"
+    )
+
+    sr, t = 16000, 8000
+    ts = np.arange(t) / sr
+    mix = (0.4 * np.sin(2 * np.pi * 440 * ts)
+           + 0.3 * np.sin(2 * np.pi * 1000 * ts)).astype(np.float32)
+    e1 = (0.4 * np.sin(2 * np.pi * 440 * np.arange(6000) / sr)).astype(
+        np.float32)
+    e2 = (0.3 * np.sin(2 * np.pi * 1000 * np.arange(6000) / sr)).astype(
+        np.float32)
+    write_wav(str(tmp_path / "mix.wav"), mix, sr)
+    write_wav(str(tmp_path / "e1.wav"), e1, sr)
+    write_wav(str(tmp_path / "e2.wav"), e2, sr)
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir)
+
+    # NO WESEP_PYTHONPATH / python env needed for this engine
+    env = dict(os.environ)
+    env.pop("WESEP_PYTHONPATH", None)
+    r = subprocess.run(
+        [os.path.join(runtime_build, "separate_main"),
+         "--model_path", str(tmp_path / "export"),
+         "--wav_path", str(tmp_path / "mix.wav"),
+         "--spk1_enroll", str(tmp_path / "e1.wav"),
+         "--spk2_enroll", str(tmp_path / "e2.wav"),
+         "--result_dir", out_dir],
+        capture_output=True, text=True, env=env, timeout=500,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "engine: tensorflow (python-free)" in r.stdout
+    assert "RTF" in r.stdout
+
+    # parity with the in-process XLA decode of the same model
+    from wesep_tpu.ops.fbank import apply_cmvn, kaldi_fbank
+
+    def feats(wav):
+        f = kaldi_fbank(jnp.asarray(wav), sample_rate=sr,
+                        input_scale=32768.0)
+        return apply_cmvn(f)
+
+    enroll = jnp.stack([feats(e1)[:48], feats(e2)[:48]])
+    want, _ = model.apply(
+        variables, jnp.stack([jnp.asarray(mix)] * 2), enroll, train=False,
+    )
+    for i in range(2):
+        got, got_sr = read_wav(os.path.join(out_dir, f"utt-spk{i+1}.wav"))
+        got = np.asarray(got).reshape(-1)
+        assert got_sr == sr
+        w = np.asarray(want)[i]
+        # wav roundtrip is int16-quantized; C++ fbank vs jax fbank differ
+        # at dither/rounding level
+        err = np.abs(got - w).max()
+        assert err < 0.05, f"spk{i+1} decode mismatch (max err {err})"

@@ -11,6 +11,12 @@ retracing. Dummy shapes default to the reference's export shapes
 
   python -m wesep_tpu.bin.export --config exp/config.yaml \
       --checkpoint exp/avg_model.ckpt --output_dir exp/export
+
+--format savedmodel additionally writes a TensorFlow SavedModel
+(jax2tf native serialization of the same StableHLO) that the C++
+runtime executes through the TF C API with NO Python interpreter —
+the fully self-contained serving artifact (the reference's LibTorch
+equivalent, runtime/separate/separate_engine.cc:31-35).
 """
 
 import argparse
@@ -27,11 +33,17 @@ def get_args():
     parser.add_argument("--samples", type=int, default=81280)
     parser.add_argument("--enroll_frames", type=int, default=300)
     parser.add_argument("--enroll_dim", type=int, default=80)
+    parser.add_argument(
+        "--format", default="stablehlo",
+        choices=["stablehlo", "savedmodel", "both"],
+        help="stablehlo: jax.export artifact (needs a jax process); "
+        "savedmodel: TF SavedModel for the Python-free C++ runtime",
+    )
     return parser.parse_args()
 
 
 def export_model(config, checkpoint, output_dir, batch=2, samples=81280,
-                 enroll_frames=300, enroll_dim=80):
+                 enroll_frames=300, enroll_dim=80, fmt="stablehlo"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -63,6 +75,23 @@ def export_model(config, checkpoint, output_dir, batch=2, samples=81280,
         est, _ = model.apply(variables, mix, enroll, train=False)
         return est
 
+    manifest = {
+        "model": configs["model"]["tse_model"],
+        "mix_shape": [batch, samples],
+        "enroll_shape": list(enroll_shape),
+        "speaker_feat": bool(speaker_feat),
+        "joint_training": bool(joint),
+        "sample_rate": configs["dataset_args"].get("resample_rate", 16000),
+    }
+    os.makedirs(output_dir, exist_ok=True)
+    if fmt in ("savedmodel", "both"):
+        _export_savedmodel(
+            fwd, variables, (batch, samples), enroll_shape, output_dir,
+            manifest,
+        )
+        if fmt == "savedmodel":
+            return output_dir
+
     mix_spec = jax.ShapeDtypeStruct((batch, samples), jnp.float32)
     enroll_spec = jax.ShapeDtypeStruct(enroll_shape, jnp.float32)
     var_spec = jax.tree_util.tree_map(
@@ -72,7 +101,6 @@ def export_model(config, checkpoint, output_dir, batch=2, samples=81280,
     exported = jax_export.export(jax.jit(fwd))(
         var_spec, mix_spec, enroll_spec
     )
-    os.makedirs(output_dir, exist_ok=True)
     with open(os.path.join(output_dir, "model.stablehlo"), "wb") as f:
         f.write(exported.serialize())
     save_checkpoint(
@@ -80,15 +108,7 @@ def export_model(config, checkpoint, output_dir, batch=2, samples=81280,
         [variables["params"]],
         batch_stats=[variables.get("batch_stats", {})],
     )
-    manifest = {
-        "model": configs["model"]["tse_model"],
-        "mix_shape": [batch, samples],
-        "enroll_shape": list(enroll_shape),
-        "speaker_feat": bool(speaker_feat),
-        "joint_training": bool(joint),
-        "sample_rate": configs["dataset_args"].get("resample_rate", 16000),
-        "platforms": list(exported.platforms),
-    }
+    manifest["platforms"] = list(exported.platforms)
     with open(os.path.join(output_dir, "export.json"), "w") as f:
         json.dump(manifest, f, indent=2)
     # round-trip check
@@ -105,11 +125,68 @@ def export_model(config, checkpoint, output_dir, batch=2, samples=81280,
     return output_dir
 
 
+def _export_savedmodel(fwd, variables, mix_shape, enroll_shape,
+                       output_dir, manifest):
+    """TF SavedModel via jax2tf: params become tf.Variables, the forward
+    is natively-serialized StableHLO executed by TF's XlaCallModule. The
+    C++ runtime loads it with the TF C API — no Python at serving time
+    (runtime/separate/tf_engine.cc)."""
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    tf_fn = jax2tf.convert(fwd, with_gradient=False)
+
+    class Served(tf.Module):
+        def __init__(self, variables):
+            super().__init__()
+            self._vars = tf.nest.map_structure(
+                tf.Variable, dict(variables)
+            )
+
+        @tf.function(
+            autograph=False,
+            input_signature=[
+                tf.TensorSpec(mix_shape, tf.float32, name="mix"),
+                tf.TensorSpec(enroll_shape, tf.float32, name="enroll"),
+            ],
+        )
+        def serve(self, mix, enroll):
+            est = tf_fn(
+                tf.nest.map_structure(lambda v: v.read_value(),
+                                      self._vars),
+                mix, enroll,
+            )
+            return {"est": tf.identity(est, name="est")}
+
+    module = Served(variables)
+    sm_dir = os.path.join(output_dir, "saved_model")
+    tf.saved_model.save(
+        module, sm_dir,
+        signatures={"serving_default": module.serve},
+    )
+    with open(os.path.join(sm_dir, "wesep_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    # flat key-value twin for the C++ engine (no JSON parser needed)
+    with open(os.path.join(sm_dir, "wesep_manifest.txt"), "w") as f:
+        f.write(f"sample_rate {manifest['sample_rate']}\n")
+        f.write(f"speaker_feat {int(manifest['speaker_feat'])}\n")
+        f.write(f"joint_training {int(manifest['joint_training'])}\n")
+        f.write(f"mix_batch {mix_shape[0]}\n")
+        f.write(f"mix_samples {mix_shape[1]}\n")
+        f.write(
+            "enroll_shape "
+            + " ".join(str(d) for d in enroll_shape) + "\n"
+        )
+    print(f"wrote TF SavedModel to {sm_dir}")
+    return sm_dir
+
+
 def main():
     args = get_args()
     export_model(
         args.config, args.checkpoint, args.output_dir, args.batch,
         args.samples, args.enroll_frames, args.enroll_dim,
+        fmt=args.format,
     )
 
 
