@@ -108,8 +108,17 @@ def main():
     }
     details.update(_mfu(step, state, batch, elapsed / n_steps))
     try:
+        # merge: tools/bench_runtime.py contributes serving-RTF entries
+        # to the same file; don't wipe them
+        merged = {}
+        try:
+            with open("BENCH_DETAILS.json") as f:
+                merged = json.load(f)
+        except (OSError, ValueError):
+            pass
+        merged.update(details)
         with open("BENCH_DETAILS.json", "w") as f:
-            json.dump(details, f, indent=1)
+            json.dump(merged, f, indent=1)
     except OSError:
         pass
 

@@ -78,6 +78,11 @@ def make_model_dir(tmp: str) -> str:
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--device", default="tpu", choices=["tpu", "cpu"])
+    parser.add_argument(
+        "--engine", default="embedded", choices=["embedded", "tf"],
+        help="embedded: CPython+XLA in-process; tf: Python-free TF C API "
+        "over the SavedModel export (always CPU)",
+    )
     parser.add_argument("--utt_sec", type=float, default=10.0)
     parser.add_argument("--n_utts", type=int, default=4)
     args = parser.parse_args()
@@ -89,6 +94,19 @@ def main():
     build = build_runtime()
     tmp = tempfile.mkdtemp(prefix="rt_bench_")
     model_dir = make_model_dir(tmp)
+    if args.engine == "tf":
+        # static-shape SavedModel sized to the benchmark utterances
+        from wesep_tpu.bin.export import export_model
+
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        export_dir = os.path.join(tmp, "export")
+        export_model(
+            os.path.join(model_dir, "config.yaml"),
+            os.path.join(model_dir, "avg_model.ckpt"),
+            export_dir, batch=2, samples=int(args.utt_sec * 16000),
+            enroll_frames=300, fmt="savedmodel",
+        )
+        model_dir = export_dir
 
     sr = 16000
     t = int(args.utt_sec * sr)
@@ -115,9 +133,12 @@ def main():
     os.makedirs(out_dir)
 
     env = dict(os.environ)
-    env["WESEP_PYTHONPATH"] = (
-        REPO + ":" + ":".join(site.getsitepackages())
-    )
+    if args.engine == "tf":
+        env.pop("WESEP_PYTHONPATH", None)  # prove no Python is involved
+    else:
+        env["WESEP_PYTHONPATH"] = (
+            REPO + ":" + ":".join(site.getsitepackages())
+        )
     if args.device == "cpu":
         env["JAX_PLATFORMS"] = "cpu"
         env["WESEP_JAX_PLATFORMS"] = "cpu"
@@ -137,7 +158,8 @@ def main():
         rtf = sum(map(float, rtfs)) / len(rtfs) if rtfs else float("nan")
     else:
         rtf = float(m.group(1))
-    key = f"serving_rtf_{args.device}_bsrnn_{int(args.utt_sec)}s"
+    eng = "tf" if args.engine == "tf" else args.device
+    key = f"serving_rtf_{eng}_bsrnn_{int(args.utt_sec)}s"
     print(json.dumps({key: rtf}))
     details_path = os.path.join(REPO, "BENCH_DETAILS.json")
     details = {}

@@ -134,7 +134,17 @@ def _export_savedmodel(fwd, variables, mix_shape, enroll_shape,
     import tensorflow as tf
     from jax.experimental import jax2tf
 
-    tf_fn = jax2tf.convert(fwd, with_gradient=False)
+    # Portable lowering: Pallas kernels only lower for TPU, so force the
+    # lax.scan recurrence for the serving artifact (CPU hosts are the
+    # deployment target, mirroring the reference's CPU LibTorch engine).
+    prev_no_pallas = os.environ.get("WESEP_NO_PALLAS")
+    os.environ["WESEP_NO_PALLAS"] = "1"
+    # multi-platform: the artifact must run on CPU regardless of
+    # which platform the export process ran on
+    tf_fn = jax2tf.convert(
+        fwd, with_gradient=False,
+        native_serialization_platforms=("cpu", "tpu"),
+    )
 
     class Served(tf.Module):
         def __init__(self, variables):
@@ -160,10 +170,18 @@ def _export_savedmodel(fwd, variables, mix_shape, enroll_shape,
 
     module = Served(variables)
     sm_dir = os.path.join(output_dir, "saved_model")
-    tf.saved_model.save(
-        module, sm_dir,
-        signatures={"serving_default": module.serve},
-    )
+    try:
+        # the jax trace happens inside tf.saved_model.save (tf.function
+        # tracing), so the Pallas override must cover this call
+        tf.saved_model.save(
+            module, sm_dir,
+            signatures={"serving_default": module.serve},
+        )
+    finally:
+        if prev_no_pallas is None:
+            os.environ.pop("WESEP_NO_PALLAS", None)
+        else:
+            os.environ["WESEP_NO_PALLAS"] = prev_no_pallas
     with open(os.path.join(sm_dir, "wesep_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
     # flat key-value twin for the C++ engine (no JSON parser needed)
