@@ -1,5 +1,6 @@
 #include "separate/tf_engine.h"
 
+#include <algorithm>
 #include <cstdio>
 #include <cstring>
 #include <fstream>
@@ -134,6 +135,33 @@ std::vector<float> TfSeparateEngine::ExtractFeature(
   return feats;
 }
 
+void TfSeparateEngine::RunWindow(const std::vector<float>& mix_rows,
+                                 const std::vector<float>& enroll_rows,
+                                 std::vector<float>* est_rows) {
+  const int b = mix_batch_;
+  const size_t t_len = static_cast<size_t>(mix_samples_);
+  std::vector<int64_t> mix_dims = {b, static_cast<int64_t>(t_len)};
+  std::vector<int64_t> enroll_dims(enroll_shape_.begin(),
+                                   enroll_shape_.end());
+  TF_Tensor* in_tensors[2] = {
+      MakeTensor(mix_dims, mix_rows.data(), mix_rows.size()),
+      MakeTensor(enroll_dims, enroll_rows.data(), enroll_rows.size()),
+  };
+  TF_Output inputs[2] = {impl_->in_mix, impl_->in_enroll};
+  TF_Output out[1] = {impl_->out_est};
+  TF_Tensor* out_tensor = nullptr;
+
+  TF_SessionRun(impl_->session, nullptr, inputs, in_tensors, 2, out,
+                &out_tensor, 1, nullptr, 0, nullptr, impl_->status);
+  TF_DeleteTensor(in_tensors[0]);
+  TF_DeleteTensor(in_tensors[1]);
+  CheckStatus(impl_->status, "TF_SessionRun");
+
+  const float* est = static_cast<const float*>(TF_TensorData(out_tensor));
+  est_rows->assign(est, est + b * t_len);
+  TF_DeleteTensor(out_tensor);
+}
+
 void TfSeparateEngine::ForwardFunc(
     const std::vector<float>& mix, const std::vector<float>& enroll1,
     const std::vector<float>& enroll2,
@@ -142,17 +170,8 @@ void TfSeparateEngine::ForwardFunc(
   const size_t t_len = static_cast<size_t>(mix_samples_);
   const size_t t_in = mix.size();
 
-  // mixture repeated per target row, zero-padded/trimmed to the export
-  // length (static XLA shapes; output trimmed back below)
-  std::vector<float> mix_rows(b * t_len, 0.0f);
-  const size_t t_copy = t_in < t_len ? t_in : t_len;
-  for (int r = 0; r < b; ++r) {
-    std::memcpy(mix_rows.data() + r * t_len, mix.data(),
-                t_copy * sizeof(float));
-  }
-
   // enrollment rows: fbank features or raw wavs, padded/trimmed to the
-  // export enrollment shape
+  // export enrollment shape; computed once regardless of mixture length
   size_t enroll_row = 1;
   for (size_t i = 1; i < enroll_shape_.size(); ++i) {
     enroll_row *= static_cast<size_t>(enroll_shape_[i]);
@@ -172,29 +191,55 @@ void TfSeparateEngine::ForwardFunc(
                 n * sizeof(float));
   }
 
-  std::vector<int64_t> mix_dims = {b, static_cast<int64_t>(t_len)};
-  std::vector<int64_t> enroll_dims(enroll_shape_.begin(),
-                                   enroll_shape_.end());
-  TF_Tensor* in_tensors[2] = {
-      MakeTensor(mix_dims, mix_rows.data(), mix_rows.size()),
-      MakeTensor(enroll_dims, enroll_rows.data(), enroll_rows.size()),
-  };
-  TF_Output inputs[2] = {impl_->in_mix, impl_->in_enroll};
-  TF_Output out[1] = {impl_->out_est};
-  TF_Tensor* out_tensor = nullptr;
+  // The graph has static XLA shapes [b, t_len]. Short inputs are
+  // zero-padded and trimmed back. Long inputs are processed as
+  // overlapping t_len windows with a linear crossfade in the overlap —
+  // the standard overlap-add serving scheme for offline models; the
+  // reference LibTorch engine instead reruns its dynamic graph per
+  // length (separate_engine.cc ForwardFunc), which static-shape XLA
+  // serving cannot do.
+  const size_t overlap =
+      t_len >= 4 ? std::min(t_len / 4, static_cast<size_t>(sample_rate_))
+                 : 0;
+  const size_t hop = t_len - overlap;
 
-  TF_SessionRun(impl_->session, nullptr, inputs, in_tensors, 2, out,
-                &out_tensor, 1, nullptr, 0, nullptr, impl_->status);
-  TF_DeleteTensor(in_tensors[0]);
-  TF_DeleteTensor(in_tensors[1]);
-  CheckStatus(impl_->status, "TF_SessionRun");
+  std::vector<std::vector<float>> acc(
+      b, std::vector<float>(std::max(t_in, t_len), 0.0f));
+  std::vector<float> weight(std::max(t_in, t_len), 0.0f);
+  std::vector<float> mix_rows(b * t_len);
+  std::vector<float> est_rows;
 
-  const float* est = static_cast<const float*>(TF_TensorData(out_tensor));
+  for (size_t start = 0;; start += hop) {
+    const size_t n = std::min(t_len, t_in > start ? t_in - start : 0);
+    std::fill(mix_rows.begin(), mix_rows.end(), 0.0f);
+    for (int r = 0; r < b; ++r) {
+      std::memcpy(mix_rows.data() + r * t_len, mix.data() + start,
+                  n * sizeof(float));
+    }
+    RunWindow(mix_rows, enroll_rows, &est_rows);
+    for (size_t i = 0; i < n; ++i) {
+      // linear fade-in over the overlap region (first window flat)
+      float w = 1.0f;
+      if (start > 0 && overlap > 0 && i < overlap) {
+        w = static_cast<float>(i + 1) / static_cast<float>(overlap + 1);
+      }
+      for (int r = 0; r < b; ++r) {
+        // complementary fade-out on what was accumulated: rescale the
+        // prior contribution so fades sum to 1
+        acc[r][start + i] =
+            acc[r][start + i] * (weight[start + i] > 0 ? (1.0f - w) : 0.0f) +
+            est_rows[r * t_len + i] * w;
+      }
+      weight[start + i] = 1.0f;
+    }
+    if (start + t_len >= t_in) break;
+  }
+
   outputs->clear();
   for (int r = 0; r < b; ++r) {
-    outputs->emplace_back(est + r * t_len, est + r * t_len + t_copy);
+    acc[r].resize(t_in);
+    outputs->push_back(std::move(acc[r]));
   }
-  TF_DeleteTensor(out_tensor);
   (void)NoOpDeallocator;
 }
 

@@ -33,6 +33,11 @@ class TfSeparateEngine {
   int sample_rate() const { return sample_rate_; }
 
  private:
+  // one static-shape session run: mix_rows [b*t_len] -> est_rows
+  void RunWindow(const std::vector<float>& mix_rows,
+                 const std::vector<float>& enroll_rows,
+                 std::vector<float>* est_rows);
+
   struct Impl;
   Impl* impl_;
   bool expects_fbank_ = false;

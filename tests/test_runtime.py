@@ -222,3 +222,64 @@ def test_tf_engine_python_free(runtime_build, tmp_path):
         # at dither/rounding level
         err = np.abs(got - w).max()
         assert err < 0.05, f"spk{i+1} decode mismatch (max err {err})"
+
+    # long utterance (2.5x the export length): the engine must window
+    # with overlap-add crossfade, not truncate. Parity reference is an
+    # independent Python replica of the same windowing over
+    # model.apply outputs.
+    t_long = 20000
+    ts_l = np.arange(t_long) / sr
+    mix_long = (0.4 * np.sin(2 * np.pi * 440 * ts_l)
+                + 0.3 * np.sin(2 * np.pi * 1000 * ts_l)).astype(np.float32)
+    write_wav(str(tmp_path / "mix_long.wav"), mix_long, sr)
+    out_dir2 = str(tmp_path / "out_long")
+    os.makedirs(out_dir2)
+    r = subprocess.run(
+        [os.path.join(runtime_build, "separate_main"),
+         "--model_path", str(tmp_path / "export"),
+         "--wav_path", str(tmp_path / "mix_long.wav"),
+         "--spk1_enroll", str(tmp_path / "e1.wav"),
+         "--spk2_enroll", str(tmp_path / "e2.wav"),
+         "--result_dir", out_dir2],
+        capture_output=True, text=True, env=env, timeout=500,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    # python replica of tf_engine.cc's overlap-add (t_len 8000 ->
+    # overlap 2000, hop 6000, linear crossfade)
+    t_len, overlap = 8000, 2000
+    hop = t_len - overlap
+    # int16 roundtrip like the engine saw from the wav file
+    mix_q = (np.round(mix_long * 32768.0).clip(-32768, 32767)
+             / 32768.0).astype(np.float32)
+    acc = np.zeros((2, t_long), np.float32)
+    filled = np.zeros(t_long, bool)
+    start = 0
+    while True:
+        n = min(t_len, t_long - start)
+        win = np.zeros(t_len, np.float32)
+        win[:n] = mix_q[start:start + n]
+        est, _ = model.apply(
+            variables, jnp.stack([jnp.asarray(win)] * 2), enroll,
+            train=False,
+        )
+        est = np.asarray(est)
+        w = np.ones(n, np.float32)
+        if start > 0:
+            ramp = np.arange(1, overlap + 1, dtype=np.float32) / (overlap + 1)
+            w[:overlap] = ramp
+        prior = np.where(filled[start:start + n], 1.0 - w, 0.0)
+        acc[:, start:start + n] = (acc[:, start:start + n] * prior
+                                   + est[:, :n] * w)
+        filled[start:start + n] = True
+        if start + t_len >= t_long:
+            break
+        start += hop
+    for i in range(2):
+        got, got_sr = read_wav(os.path.join(out_dir2, f"utt-spk{i+1}.wav"))
+        got = np.asarray(got).reshape(-1)
+        assert got_sr == sr and got.shape[0] == t_long, (
+            f"long decode truncated: {got.shape}"
+        )
+        err = np.abs(got - acc[i]).max()
+        assert err < 0.05, f"long spk{i+1} windowing mismatch (max {err})"
