@@ -229,3 +229,50 @@ def test_checkpoint_roundtrip_and_average(tmp_path):
     avg = average_checkpoints([f1, f2])
     np.testing.assert_allclose(avg["a"], np.full((3,), 2.0))
     np.testing.assert_allclose(avg["b"]["c"], np.full((2,), 1.0))
+
+
+def test_multi_scale_train_step_spexplus():
+    """SpEx+ multi-decoder (list of 3 estimates) through the compiled
+    train step with the reference multi-scale weighting (0.8/0.1/0.1,
+    confs/spexplus.yaml:27-30). Regression: flax apply(mutable=[])
+    returns a (outputs, {}) tuple, which silently mis-flattened list
+    outputs before the mutable=False fix in trainer.py."""
+    from wesep_tpu.models.convtasnet import ConvTasNet
+    from wesep_tpu.train.schedulers import exponential_decrease
+    from wesep_tpu.train.trainer import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    model = ConvTasNet(
+        N=32, L=20, B=16, H=32, P=3, X=2, R=1, spk_emb_dim=16,
+        spk_fuse_type="concatConv", encoder_type="Multi",
+        decoder_type="Multi", joint_training=False,
+    )
+    rng = np.random.default_rng(0)
+    bn, t = 2, 4000
+    batch = {
+        "wav_mix": jnp.asarray(
+            rng.standard_normal((bn, t)).astype(np.float32) * 0.1),
+        "wav_targets": jnp.asarray(
+            rng.standard_normal((bn, t)).astype(np.float32) * 0.1),
+        "spk_embeds": jnp.asarray(
+            rng.standard_normal((bn, 16)).astype(np.float32)),
+        "spk_label": jnp.zeros((bn,), jnp.int32),
+    }
+    sched = exponential_decrease(
+        num_epochs=2, epoch_iter=10, initial_lr=1e-3, final_lr=2.5e-5,
+        warm_up_epoch=0)
+    opt = make_optimizer(sched)
+    step = jax.jit(make_train_step(
+        model, opt, [si_sdr_loss],
+        loss_posi=((0, 1, 2),), loss_weight=((0.8, 0.1, 0.1),),
+    ))
+    state = init_train_state(model, jax.random.PRNGKey(0), batch, opt)
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]  # optimizes all three scales

@@ -243,7 +243,9 @@ def make_train_step(
             pre-pass; torch would update them, we keep the grad pass
             authoritative)."""
             variables = {"params": params}
-            mutable = []
+            # NB: mutable=[] (empty list) would still make flax return a
+            # (outputs, {}) tuple; only mutable=False returns outputs alone
+            mutable = False
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
                 mutable = ["batch_stats"]

@@ -106,7 +106,9 @@ def make_gan_train_step(
 
     def _gen_outputs(params, batch_stats, batch, train=True):
         variables = {"params": params}
-        mutable = []
+        # mutable=[] would still return a (outputs, {}) tuple; False
+        # returns outputs alone
+        mutable = False
         if batch_stats:
             variables["batch_stats"] = batch_stats
             mutable = ["batch_stats"]
