@@ -30,12 +30,21 @@ __all__ = ["DPCCN"]
 
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """torch InstanceNorm2d/1d defaults: per-(sample, channel) over spatial
-    dims, NO affine params. x: [B, *spatial, C]."""
+    dims, NO affine params. x: [B, *spatial, C].
+
+    Statistics reduce in f32 (XLA fuses the upcast into the reduction —
+    no f32 copy of x is materialized), but the normalization itself stays
+    in x.dtype: DPCCN applies IN after every conv (~60x per forward), so
+    a materialized f32 intermediate would double the HBM traffic of the
+    whole bandwidth-bound U-Net. In f32 training the math is unchanged;
+    in bf16 the centering/scaling rounds to bf16, which is already the
+    output precision."""
     axes = tuple(range(1, x.ndim - 1))
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=axes, keepdims=True)
     var = jnp.var(x32, axis=axes, keepdims=True)
-    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    scale = jax.lax.rsqrt(var + eps).astype(x.dtype)
+    return (x - mean.astype(x.dtype)) * scale
 
 
 class Conv2dBlock(nn.Module):
