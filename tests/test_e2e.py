@@ -179,3 +179,36 @@ def test_average_and_infer_binary(recipe):
     wavs = [f for f in os.listdir(audio_dir) if f.endswith(".wav")]
     assert len(wavs) == 4  # 2 utts x 2 targets
     assert os.path.exists(os.path.join(audio_dir, "spk1.scp"))
+
+
+def test_train_resume_continues(recipe, tmp_path):
+    """Resume workflow (reference run.sh auto-resume + bin/train.py
+    epoch-from-filename regex, train.py:272-280): train 2 epochs, then
+    re-invoke with --checkpoint checkpoint_2 and num_epochs 3 — one more
+    epoch runs, optimizer/scheduler state carries over, and the final
+    symlink points at checkpoint_3."""
+    import yaml as _yaml
+
+    from wesep_tpu.bin.train import train
+
+    with open(recipe["config"]) as f:
+        cfg = _yaml.safe_load(f)
+    exp = str(tmp_path / "exp_resume")
+    cfg["exp_dir"] = exp
+    cfg_path = str(tmp_path / "config.yaml")
+    with open(cfg_path, "w") as f:
+        _yaml.dump(cfg, f)
+
+    state = train(cfg_path)
+    assert int(state.step) == 4
+    ckpt2 = os.path.join(exp, "models", "checkpoint_2.ckpt")
+    assert os.path.exists(ckpt2)
+
+    state = train(cfg_path, checkpoint=ckpt2,
+                  overrides=["num_epochs=3"])
+    # resumed at epoch 3: 2 more iters on top of the restored 4
+    assert int(state.step) == 6
+    models = os.path.join(exp, "models")
+    assert os.path.exists(os.path.join(models, "checkpoint_3.ckpt"))
+    final = os.path.join(models, "final_checkpoint.ckpt")
+    assert os.readlink(final) == "checkpoint_3.ckpt"
