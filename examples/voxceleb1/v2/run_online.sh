@@ -67,7 +67,7 @@ if [ ${stage} -le 5 ] && [ ${stop_stage} -ge 5 ]; then
   python -m wesep_tpu.bin.infer --config ${config} \
       --set checkpoint=${exp_dir}/models/avg_model.ckpt \
       --set test_data=${data}/test/shards.list \
-      --set test_spk2utt=${data}/test/single.utt2spk \
+      --set test_spk2utt=${data}/test/enroll_wav.scp \
       --set test_spk1_enroll=${data}/test/spk1_enroll \
       --set test_spk2_enroll=${data}/test/spk2_enroll
 fi

@@ -1,51 +1,43 @@
 #!/usr/bin/env bash
-# Libri2Mix TSE recipe, joint speaker-encoder training (v2).
-# TPU port of /root/reference/examples/librimix/tse/v2/run.sh: same staged
-# pipeline (prepare -> shards -> train -> average -> infer -> score);
-# torchrun is replaced by a single host process driving all local TPU
-# chips through the mesh (multi-host: WESEP_DIST=1 + jax.distributed).
+# WSJ0-2Mix TSE recipe, joint speaker-encoder training.
+# Closes the reference's unchecked "[ ] WSJ0-2Mix" roadmap item
+# (/root/reference/README.md) with the same staged pipeline as the
+# Libri2Mix v2 recipe: prepare -> shards -> train -> average -> infer
+# -> score. Single host process drives all local TPU chips through the
+# mesh (multi-host: WESEP_DIST=1 + jax.distributed).
 set -euo pipefail
 
 stage=1
 stop_stage=6
-librimix_dir=/path/to/Libri2Mix/wav16k/min
-musan_dir=/path/to/musan
+# the standard wsj0-mix tree from the MERL matlab/pywsj0-mix generators
+wsj0_2mix_dir=/path/to/wsj0-mix/2speakers/wav16k/min
 data=data
 config=confs/bsrnn.yaml
 exp_dir=$(python -c "import yaml,sys;print(yaml.safe_load(open('$config'))['exp_dir'])")
 num_avg=2
 gpus="" # unused on TPU; kept for CLI parity
-# MetricGAN fine-tuning (reference v2/run.sh:22,75-76): set true with
-# e.g. config=confs/dpcc_init_gan.yaml after a converged stage-3 run
-use_gan_loss=false
-# official BUT-speakerbeam fixed dev/test enrollment maps (reference
-# local/prepare_data.sh:60-67); set false to generate deterministic
-# per-seed maps instead (NOT comparable with published numbers)
+# official BUT-speakerbeam fixed dev/test enrollment maps
+# (speakerbeam egs/wsj0_2mix); set false to generate deterministic
+# per-seed maps instead (NOT comparable with published TSE numbers)
 use_official_enroll_maps=true
 
 . ../../../../tools/parse_options.sh || true
 
 if [ ${stage} -le 1 ] && [ ${stop_stage} -ge 1 ]; then
-  echo "stage 1: prepare data lists + enrollment maps + noise db"
+  echo "stage 1: prepare data lists + enrollment maps"
   m2e_args=""
   if ${use_official_enroll_maps}; then
-    for dset in dev test; do
-      url="https://raw.githubusercontent.com/BUTSpeechFIT/speakerbeam/main/egs/libri2mix/data/wav8k/min/${dset}/map_mixture2enrollment"
+    for pair in cv:dev tt:test; do
+      src=${pair%%:*}; dset=${pair##*:}
+      url="https://raw.githubusercontent.com/BUTSpeechFIT/speakerbeam/main/egs/wsj0_2mix/data/wav8k/min/${src}/map_mixture2enrollment"
       mkdir -p ${data}/${dset}
       [ -s ${data}/${dset}/mixture2enrollment ] || \
         wget -O ${data}/${dset}/mixture2enrollment "$url"
       m2e_args="${m2e_args} ${dset}:${data}/${dset}/mixture2enrollment"
     done
   fi
-  python local/prepare_librimix.py --librimix_dir ${librimix_dir} \
+  python local/prepare_wsj0_2mix.py --wsj0_2mix_dir ${wsj0_2mix_dir} \
       --out_dir ${data} ${m2e_args:+--mix2enroll ${m2e_args}}
-  if [ -d "${musan_dir}" ]; then
-    find ${musan_dir} -name '*.wav' | \
-      awk -F/ '{key=$(NF-2)"_"$NF; gsub(/\.wav$/,"",key); print key, $0}' \
-      > ${data}/musan/noise.scp
-    python -m wesep_tpu.tools.make_noise_db \
-        ${data}/musan/noise.scp ${data}/musan/noise.pack
-  fi
 fi
 
 if [ ${stage} -le 2 ] && [ ${stop_stage} -ge 2 ]; then
@@ -62,12 +54,10 @@ fi
 
 if [ ${stage} -le 3 ] && [ ${stop_stage} -ge 3 ]; then
   echo "stage 3: train"
-  train_module=wesep_tpu.bin.train
-  ${use_gan_loss} && train_module=wesep_tpu.bin.train_gan
   ckpt=""
   latest=${exp_dir}/models/latest_checkpoint.ckpt
   [ -L ${latest} ] && ckpt="--checkpoint $(readlink -f ${latest})"
-  python -m ${train_module} --config ${config} ${ckpt}
+  python -m wesep_tpu.bin.train --config ${config} ${ckpt}
 fi
 
 if [ ${stage} -le 4 ] && [ ${stop_stage} -ge 4 ]; then

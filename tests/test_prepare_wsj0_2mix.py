@@ -1,0 +1,140 @@
+"""WSJ0-2Mix recipe data preparation (examples/wsj0_2mix/tse/v2/local/).
+
+Builds a miniature wsj0-2mix tree (the `<utt1>_<snr1>_<utt2>_<snr2>`
+key convention, tr/cv/tt splits with mix|s1|s2 dirs), runs the prep
+script, and checks the emitted lists match the Libri2Mix-recipe file
+contracts consumed by the shard builder and bin/infer — including the
+official BUT-speakerbeam `map_mixture2enrollment` path.
+"""
+
+import importlib.util
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+from wesep_tpu.data.wav_io import write_wav
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PREP = os.path.join(
+    REPO, "examples", "wsj0_2mix", "tse", "v2", "local",
+    "prepare_wsj0_2mix.py",
+)
+
+# (utt1, snr1, utt2, snr2) per split; speakers are utt[:3]
+MIXES = {
+    "tr": [("011a0101", "1.23", "022b0202", "-1.23"),
+           ("011a0102", "0.5", "033c0303", "-0.5"),
+           ("022b0203", "2.0", "033c0304", "-2.0")],
+    "cv": [("204a0101", "1.0", "205b0201", "-1.0"),
+           ("204a0102", "0.1", "205b0202", "-0.1")],
+    "tt": [("440a0101", "0.7", "441b0201", "-0.7")],
+}
+
+
+def _build_tree(root):
+    rng = np.random.default_rng(0)
+    for split, mixes in MIXES.items():
+        for sub in ("mix", "s1", "s2"):
+            os.makedirs(os.path.join(root, split, sub), exist_ok=True)
+        for u1, snr1, u2, snr2 in mixes:
+            key = f"{u1}_{snr1}_{u2}_{snr2}"
+            for sub in ("mix", "s1", "s2"):
+                wav = rng.standard_normal(800).astype(np.float32) * 0.1
+                write_wav(
+                    os.path.join(root, split, sub, key + ".wav"), wav, 16000
+                )
+
+
+def _run_prep(root, out, extra=()):
+    subprocess.run(
+        [sys.executable, PREP, "--wsj0_2mix_dir", root, "--out_dir", out,
+         *extra],
+        check=True, capture_output=True, text=True,
+    )
+
+
+def _read_map(path):
+    with open(path) as f:
+        return dict(line.split() for line in f if line.strip())
+
+
+def test_prepare_wsj0_2mix(tmp_path):
+    root = str(tmp_path / "wsj0mix")
+    out = str(tmp_path / "data")
+    _build_tree(root)
+    _run_prep(root, out)
+
+    for split, n in (("train", 3), ("dev", 2), ("test", 1)):
+        d = os.path.join(out, split)
+        wav = _read_map(os.path.join(d, "wav.scp"))
+        assert len(wav) == n and all(os.path.exists(p) for p in wav.values())
+        s1 = _read_map(os.path.join(d, "spk1.scp"))
+        s2 = _read_map(os.path.join(d, "spk2.scp"))
+        assert set(s1) == set(wav) == set(s2)
+        # utt2spks: "<mix> spkA spkB" with spk = utt[:3]
+        with open(os.path.join(d, "utt2spks")) as f:
+            for line in f:
+                key, a, b = line.split()
+                parts = key.split("_")
+                assert (a, b) == (parts[0][:3], parts[2][:3])
+
+    # fixed enrollment only for dev/test; train uses the dynamic pool
+    assert not os.path.exists(os.path.join(out, "train", "spk1_enroll"))
+    for split in ("dev", "test"):
+        d = os.path.join(out, split)
+        wav = _read_map(os.path.join(d, "wav.scp"))
+        enroll_wav = _read_map(os.path.join(d, "enroll_wav.scp"))
+        for idx in (1, 2):
+            m = _read_map(os.path.join(d, f"spk{idx}_enroll"))
+            assert set(m) == set(wav)
+            for mix, eu in m.items():
+                # enrollment utterance resolvable + same speaker as target
+                assert eu in enroll_wav
+                target = mix.split("_")[0 if idx == 1 else 2]
+                assert eu[:3] == target[:3]
+
+
+def test_prepare_wsj0_2mix_official_maps(tmp_path):
+    root = str(tmp_path / "wsj0mix")
+    out = str(tmp_path / "data")
+    _build_tree(root)
+
+    # speakerbeam map_mixture2enrollment: "mix_id utt_id enroll_utt"
+    m2e = tmp_path / "map_tt"
+    lines = []
+    for u1, snr1, u2, snr2 in MIXES["tt"]:
+        key = f"{u1}_{snr1}_{u2}_{snr2}"
+        # enroll each target with the OTHER split's utterance of the
+        # same speaker -- here just any same-speaker utt (itself works
+        # for the parser; resolvability is checked by the recipe later)
+        lines.append(f"{key} {u1} {u1}")
+        lines.append(f"{key} {u2} {u2}")
+    m2e.write_text("\n".join(lines) + "\n")
+
+    _run_prep(root, out, extra=["--mix2enroll", f"test:{m2e}"])
+    d = os.path.join(out, "test")
+    for idx, field in ((1, 0), (2, 2)):
+        m = _read_map(os.path.join(d, f"spk{idx}_enroll"))
+        for mix, eu in m.items():
+            assert eu == mix.split("_")[field]
+
+    # a mixture missing from the official file must fail loudly
+    m2e.write_text(lines[0] + "\n")
+    try:
+        _run_prep(root, str(tmp_path / "data2"),
+                  extra=["--mix2enroll", f"test:{m2e}"])
+    except subprocess.CalledProcessError as e:
+        assert "missing from" in e.stderr
+    else:
+        raise AssertionError("expected prep to fail on incomplete map")
+
+
+def test_prep_script_importable():
+    """The script parses/imports cleanly (guards syntax regressions)."""
+    spec = importlib.util.spec_from_file_location("prep_wsj0", PREP)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.spk_of("011a0101") == "011"
+    assert mod.split_key("a_1_b_2") == ("a", "b")
