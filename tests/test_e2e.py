@@ -212,3 +212,80 @@ def test_train_resume_continues(recipe, tmp_path):
     assert os.path.exists(os.path.join(models, "checkpoint_3.ckpt"))
     final = os.path.join(models, "final_checkpoint.ckpt")
     assert os.readlink(final) == "checkpoint_3.ckpt"
+
+
+def test_infer_sharded_parity(recipe, tmp_path):
+    """Sharded decode: rows grouped per length bucket and sharded over the
+    8-device mesh give bit-identical wavs regardless of rows-per-step
+    (full steps vs zero-padded remainders), and the Utt/T naming contract
+    survives the regrouping."""
+    import yaml as _yaml
+
+    from wesep_tpu.bin.infer import infer
+    from wesep_tpu.data.wav_io import read_wav
+
+    exp = recipe["configs"]["exp_dir"]
+    ckpt = os.path.join(exp, "models", "checkpoint_2.ckpt")
+    if not os.path.exists(ckpt):
+        from wesep_tpu.bin.train import train
+
+        train(recipe["config"])
+
+    # 6 utts x 2 rows at two distinct lengths -> two compile buckets
+    root = recipe["root"]
+    spks = ["spkA", "spkB", "spkC", "spkD"]
+    keys_long = {f"ts{i}": (spks[i % 4], spks[(i + 1) % 4])
+                 for i in range(4)}
+    keys_short = {f"tsS{i}": (spks[i % 4], spks[(i + 2) % 4])
+                  for i in range(2)}
+    _make_premixed_shard(str(tmp_path / "t_long.tar"), keys_long,
+                         t=6000, seed=7)
+    _make_premixed_shard(str(tmp_path / "t_short.tar"), keys_short,
+                         t=3500, seed=8)
+    with open(tmp_path / "test.list", "w") as f:
+        f.write(str(tmp_path / "t_long.tar") + "\n")
+        f.write(str(tmp_path / "t_short.tar") + "\n")
+    all_keys = dict(keys_long, **keys_short)
+    with open(tmp_path / "spk1_enroll", "w") as f:
+        for k, (s1, _) in all_keys.items():
+            f.write(f"{k} utt_{s1}\n")
+    with open(tmp_path / "spk2_enroll", "w") as f:
+        for k, (_, s2) in all_keys.items():
+            f.write(f"{k} utt_{s2}\n")
+
+    results = {}
+    for rows_per_step in (8, 32):
+        exp_i = str(tmp_path / f"exp_rows{rows_per_step}")
+        with open(recipe["config"]) as f:
+            cfg = _yaml.safe_load(f)
+        cfg["exp_dir"] = exp_i
+        cfg_path = str(tmp_path / f"cfg{rows_per_step}.yaml")
+        with open(cfg_path, "w") as f:
+            _yaml.dump(cfg, f)
+        sisnr, sisnri = infer(
+            cfg_path,
+            checkpoint=ckpt,
+            test_data=str(tmp_path / "test.list"),
+            test_spk_embeds=recipe["configs"]["val_spk_embeds"],
+            test_spk1_enroll=str(tmp_path / "spk1_enroll"),
+            test_spk2_enroll=str(tmp_path / "spk2_enroll"),
+            length_bucket=2000,
+            infer_batch_size=rows_per_step,
+        )
+        audio = os.path.join(exp_i, "audio")
+        wavs = sorted(
+            f for f in os.listdir(audio) if f.endswith(".wav")
+        )
+        assert len(wavs) == 12  # 6 utts x 2 targets
+        results[rows_per_step] = (
+            sisnr, sisnri,
+            {w: read_wav(os.path.join(audio, w))[0] for w in wavs},
+        )
+
+    a, b = results[8], results[32]
+    assert np.isclose(a[0], b[0]) and np.isclose(a[1], b[1])
+    assert sorted(a[2]) == sorted(b[2])
+    for name in a[2]:
+        # wavs are int16 PCM; batch-shape-dependent XLA fusion can move
+        # float rounding by one quantization step
+        np.testing.assert_allclose(a[2][name], b[2][name], atol=2 / 32768)

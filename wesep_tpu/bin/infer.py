@@ -5,9 +5,15 @@ whole-utterance decoding, 0.9 peak normalization, `Utt{n}-{key}-T{spk}.wav`
 outputs, per-utt and average SI-SNR / SI-SNRi + acceptance rate
 (SI-SNRi > 1 dB), and the filename-convention scp for stage-6 scoring.
 
-TPU note: variable utterance lengths are padded up to a bucket multiple
-(`length_bucket`, default 16000) so XLA compiles one graph per bucket
-instead of one per length; iSTFT `length=` semantics make the unpad exact.
+TPU notes:
+- variable utterance lengths are padded up to a bucket multiple
+  (`length_bucket`, default 16000) so XLA compiles one graph per bucket
+  instead of one per length; iSTFT `length=` semantics make the unpad
+  exact;
+- decode rows are independent, so they batch per bucket and shard over
+  all local chips on a 1-D `jax.sharding.Mesh` (`infer_batch_size` total
+  rows per step, default one utterance per chip) — the reference decodes
+  strictly one utterance at a time on one device.
 """
 
 import argparse
@@ -45,7 +51,6 @@ def generate_enhanced_scp(audio_dir: str, n_spk: int = 2):
 
 def infer(config: str, overrides=None, **kwargs):
     import jax
-    import jax.numpy as jnp
 
     from wesep_tpu.data import BatchLoader, Dataset, tse_collate_fn_2spk
     from wesep_tpu.data.wav_io import write_wav
@@ -139,51 +144,86 @@ def infer(config: str, overrides=None, **kwargs):
 
     bucket = int(configs.get("length_bucket", 16000))
 
-    from functools import partial
+    # Multi-chip decode: rows (mixture x target pairs) are independent, so
+    # the batch axis shards over a 1-D device mesh — XLA splits each step
+    # across all local chips with no collectives in the forward. Rows are
+    # buffered per length bucket so every step has one static shape
+    # (rows_per_step x pad_len); remainders are zero-padded rows whose
+    # outputs are dropped. `infer_batch_size` = total rows per step
+    # (default 2 x n_devices, i.e. one utterance per chip; on a single
+    # chip this matches the reference's per-utterance decode,
+    # /root/reference/wesep/bin/infer.py:101-141).
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
 
-    @partial(jax.jit, static_argnames=("pad_len",))
-    def forward(variables, mix, enroll, pad_len):
-        pad = pad_len - mix.shape[-1]
-        mix_p = jnp.pad(mix, ((0, 0), (0, pad)))
-        est, _ = model.apply(variables, mix_p, enroll, train=False)
-        return est
+    n_dev = jax.local_device_count()
+    rows_per_step = int(configs.get("infer_batch_size", 2 * n_dev))
+    rows_per_step = max(n_dev,
+                        (rows_per_step + n_dev - 1) // n_dev * n_dev)
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    row_sh = NamedSharding(mesh, P("data"))
+    rep_sh = NamedSharding(mesh, P())
+
+    forward = jax.jit(
+        lambda v, m, e: model.apply(v, m, e, train=False)[0],
+        in_shardings=(rep_sh, row_sh, row_sh),
+        out_shardings=row_sh,
+    )
 
     total_sisnr = total_sisnri = 0.0
     total_cnt = accept_cnt = 0
     audio_total = 0.0
-    for i, batch in enumerate(loader):
-        mix = batch["wav_mix"]
-        targets = batch["wav_targets"]
-        enroll = batch["spk_embeds"]
-        t_len = mix.shape[-1]
-        pad_len = ((t_len + bucket - 1) // bucket) * bucket
-        ests = np.asarray(
-            forward(variables, jnp.asarray(mix), jnp.asarray(enroll),
-                    pad_len)
-        )[:, :t_len]
-        audio_total += t_len / sample_rate * mix.shape[0]
-        for j in range(ests.shape[0]):
-            est = ests[j]
+
+    def _flush(pad_len, rows):
+        nonlocal total_sisnr, total_sisnri, total_cnt, accept_cnt
+        mix_b = np.zeros((rows_per_step, pad_len), np.float32)
+        enr_b = np.zeros(
+            (rows_per_step,) + rows[0]["enroll"].shape, np.float32
+        )
+        for r_i, r in enumerate(rows):
+            mix_b[r_i, : r["t_len"]] = r["mix"]
+            enr_b[r_i] = r["enroll"]
+        ests = np.asarray(forward(variables, mix_b, enr_b))
+        for r, est in zip(rows, ests):
+            est = est[: r["t_len"]]
             est = est / np.max(np.abs(est)) * 0.9  # peak norm (infer.py:124)
-            key, spk = batch["key"][j], batch["spk"][j]
             if save_wav:
                 write_wav(
                     os.path.join(
-                        audio_dir, f"Utt{i + 1}-{key}-T{j}.wav"
+                        audio_dir, f"Utt{r['utt']}-{r['key']}-T{r['row']}.wav"
                     ),
                     est,
                     sample_rate,
                 )
-            sisnr, sisnri = cal_SISNRi(est, targets[j], mix[j])
+            sisnr, sisnri = cal_SISNRi(est, r["target"], r["mix"])
             logger.info(
                 "Utt=%d Key=%s Target=%s SI-SNR=%.3f SI-SNRi=%.3f",
-                i + 1, key, spk, sisnr, sisnri,
+                r["utt"], r["key"], r["spk"], sisnr, sisnri,
             )
             total_sisnr += sisnr
             total_sisnri += sisnri
             total_cnt += 1
             if sisnri > 1.0:
                 accept_cnt += 1
+
+    groups = {}  # pad_len -> buffered rows
+    for i, batch in enumerate(loader):
+        mix = batch["wav_mix"]
+        targets = batch["wav_targets"]
+        enroll = batch["spk_embeds"]
+        t_len = mix.shape[-1]
+        pad_len = ((t_len + bucket - 1) // bucket) * bucket
+        audio_total += t_len / sample_rate * mix.shape[0]
+        for j in range(mix.shape[0]):
+            groups.setdefault(pad_len, []).append({
+                "mix": mix[j], "target": targets[j], "enroll": enroll[j],
+                "t_len": t_len, "utt": i + 1, "row": j,
+                "key": batch["key"][j], "spk": batch["spk"][j],
+            })
+            if len(groups[pad_len]) == rows_per_step:
+                _flush(pad_len, groups.pop(pad_len))
+    for pad_len in sorted(groups):
+        _flush(pad_len, groups[pad_len])
     elapsed = time.time() - start
     if total_cnt:
         logger.info("Average SI-SNR: %.3f", total_sisnr / total_cnt)
