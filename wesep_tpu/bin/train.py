@@ -34,7 +34,14 @@ def build_model(configs):
 
     model_name = configs["model"]["tse_model"]
     model_args = dict(configs["model_args"]["tse_model"])
-    return get_model(model_name)(**model_args), model_name, model_args
+    model_cls = get_model(model_name)
+    # 'model_axis: N' shards model-axis-capable models (TF-GridNet's
+    # folded LSTM/attention batch) over a 2-D (data, model) mesh
+    if int(configs.get("model_axis", 1)) > 1 and hasattr(
+        model_cls, "shard_model_axis"
+    ):
+        model_args.setdefault("shard_model_axis", True)
+    return model_cls(**model_args), model_name, model_args
 
 
 def load_enroll_maps(configs, joint_training, multi_task):
@@ -380,18 +387,36 @@ def train(config: str, checkpoint=None, overrides=None, **kwargs):
         if device_augment
         else example_batch["wav_mix"].shape[0]
     )
-    mesh_devices = n_devices
-    while n_rows % mesh_devices:
-        mesh_devices -= 1
+    model_axis = int(configs.get("model_axis", 1))
+    if n_devices % model_axis:
+        raise ValueError(
+            f"model_axis={model_axis} must divide device count {n_devices}"
+        )
+    data_devices = n_devices // model_axis
+    while n_rows % data_devices:
+        data_devices -= 1
+    mesh_devices = data_devices * model_axis
     if mesh_devices != n_devices and rank == 0:
         logger.warning(
-            "batch rows %d not divisible by %d devices; using %d",
-            n_rows, n_devices, mesh_devices,
+            "batch rows %d not divisible by %d data devices; using %d",
+            n_rows, n_devices // model_axis, data_devices,
         )
-    mesh = Mesh(
-        np.asarray(jax.devices()[:mesh_devices]).reshape(mesh_devices),
-        ("data",),
-    )
+    if model_axis > 1:
+        mesh = Mesh(
+            np.asarray(jax.devices()[:mesh_devices]).reshape(
+                data_devices, model_axis
+            ),
+            ("data", "model"),
+        )
+        if rank == 0:
+            logger.info(
+                "mesh: %d data x %d model devices", data_devices, model_axis
+            )
+    else:
+        mesh = Mesh(
+            np.asarray(jax.devices()[:mesh_devices]).reshape(mesh_devices),
+            ("data",),
+        )
     p_train = make_data_parallel(train_step, mesh, donate_state=True)
     p_eval = jax.jit(eval_step)
 
@@ -408,14 +433,17 @@ def train(config: str, checkpoint=None, overrides=None, **kwargs):
         logger.info(table_row(("Train/Val", "Epoch", "iter", "Loss", "rate")))
     for epoch in range(start_epoch, configs["num_epochs"] + 1):
         train_loader.set_epoch(epoch)
-        state, train_loss = executor.train(
-            train_loader, p_train, state, epoch_iter, epoch, logger,
-            configs.get("log_batch_interval", 100), device_put_train,
-        )
-        val_loss = executor.cv(
-            val_loader, p_eval, state, val_iter, epoch, logger,
-            configs.get("log_batch_interval", 100), device_put_train,
-        )
+        # the mesh context scopes the bare-PartitionSpec sharding hints
+        # inside model code (e.g. TF-GridNet _shard_folded) at trace time
+        with mesh:
+            state, train_loss = executor.train(
+                train_loader, p_train, state, epoch_iter, epoch, logger,
+                configs.get("log_batch_interval", 100), device_put_train,
+            )
+            val_loss = executor.cv(
+                val_loader, p_eval, state, val_iter, epoch, logger,
+                configs.get("log_batch_interval", 100), device_put_train,
+            )
         train_losses.append(train_loss)
         val_losses.append(val_loss)
         if rank == 0:
