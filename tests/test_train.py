@@ -276,3 +276,46 @@ def test_multi_scale_train_step_spexplus():
         losses.append(float(metrics["loss"]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]  # optimizes all three scales
+
+
+def test_grad_accumulation_matches_full_batch():
+    """accum_steps=4 (microbatch scan, one optimizer update) produces the
+    same loss and parameters as the full-batch step — gradient
+    accumulation must be a pure memory/HBM trade, not a semantic change.
+    Also checks step count advances once per optimizer update."""
+    from wesep_tpu.train.losses import si_sdr_loss
+    from wesep_tpu.train.schedulers import exponential_decrease
+    from wesep_tpu.train.trainer import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    model, batch = _tiny_model_and_batch()
+    sched = exponential_decrease(
+        num_epochs=2, epoch_iter=4, initial_lr=1e-3, final_lr=1e-4,
+        warm_up_epoch=0,
+    )
+    optimizer = make_optimizer(sched, weight_decay=1e-4, clip_grad=5.0)
+    state0 = init_train_state(model, jax.random.PRNGKey(0), batch, optimizer)
+
+    full = jax.jit(make_train_step(model, optimizer, [si_sdr_loss]))
+    acc = jax.jit(
+        make_train_step(model, optimizer, [si_sdr_loss], accum_steps=4)
+    )
+
+    s_full, s_acc = state0, state0
+    for _ in range(2):
+        s_full, m_full = full(s_full, batch)
+        s_acc, m_acc = acc(s_acc, batch)
+        np.testing.assert_allclose(
+            float(m_acc["loss"]), float(m_full["loss"]), rtol=1e-5
+        )
+    assert int(s_acc.step) == 2
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_full.params),
+        jax.tree_util.tree_leaves(s_acc.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4
+        )

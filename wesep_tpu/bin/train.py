@@ -316,9 +316,15 @@ def train(config: str, checkpoint=None, overrides=None, **kwargs):
             "noise_snr": dataset_args.get("noise_snr", (-5.0, 25.0)),
             "sample_rate": dataset_args.get("resample_rate", 16000),
         }
+    # gradient accumulation (wenet-style 'accum_grad'): split each batch
+    # into N sequential microbatches inside the compiled step
+    accum_steps = int(
+        configs.get("accum_grad", configs.get("accum_steps", 1)) or 1
+    )
     train_step = make_train_step(
         model, optimizer, criterion, loss_posi, loss_weight, multi_task,
         compute_dtype=compute_dtype,
+        accum_steps=accum_steps,
         ssa_enroll_prob=dataset_args.get("SSA_enroll_prob", 0),
         ssa_speaker_feat=dataset_args.get("speaker_feat", True),
         fbank_args=dataset_args.get("fbank_args"),
@@ -387,13 +393,18 @@ def train(config: str, checkpoint=None, overrides=None, **kwargs):
         if device_augment
         else example_batch["wav_mix"].shape[0]
     )
+    if n_rows % accum_steps:
+        raise ValueError(
+            f"accum_grad={accum_steps} must divide batch rows {n_rows}"
+        )
+    micro_rows = n_rows // accum_steps
     model_axis = int(configs.get("model_axis", 1))
     if n_devices % model_axis:
         raise ValueError(
             f"model_axis={model_axis} must divide device count {n_devices}"
         )
     data_devices = n_devices // model_axis
-    while n_rows % data_devices:
+    while micro_rows % data_devices:
         data_devices -= 1
     mesh_devices = data_devices * model_axis
     if mesh_devices != n_devices and rank == 0:

@@ -182,8 +182,16 @@ def make_train_step(
     sample_rate: int = 16000,
     seed: int = 42,
     device_augment: Optional[dict] = None,
+    accum_steps: int = 1,
 ):
     """Build the pure (state, batch) -> (state, metrics) train step.
+
+    accum_steps > 1 enables gradient accumulation (no reference
+    equivalent; wenet's `accum_grad` semantics): the batch's row axis is
+    split into accum_steps equal microbatches, a lax.scan accumulates
+    the mean gradient (and threads BatchNorm stats sequentially), and
+    the optimizer applies ONE update — same numbers as the full batch,
+    1/accum_steps the activation HBM. Row counts must divide evenly.
 
     ssa_enroll_prob > 0 enables single-optimization Self-estimated Speech
     Augmentation (reference executor.py:89-102): with that probability per
@@ -232,12 +240,11 @@ def make_train_step(
         out["wav_targets"] = scaled.reshape(-1, scaled.shape[-1])
         return out
 
-    def train_step(state: TrainState, batch):
-        base_rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
+    def _grads_one(params, stats, mb, rng):
+        """((loss, new_stats), grads) for one (micro)batch."""
         if device_augment is not None:
-            batch = _apply_device_augment(
-                jax.random.fold_in(base_rng, 1), batch
-            )
+            mb = _apply_device_augment(jax.random.fold_in(rng, 1), mb)
+
         def _forward(params, enroll, keep_stats=True):
             """keep_stats=False discards BN-stat updates (the SSA no-grad
             pre-pass; torch would update them, we keep the grad pass
@@ -246,10 +253,10 @@ def make_train_step(
             # NB: mutable=[] (empty list) would still make flax return a
             # (outputs, {}) tuple; only mutable=False returns outputs alone
             mutable = False
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
+            if stats:
+                variables["batch_stats"] = stats
                 mutable = ["batch_stats"]
-            mix = batch["wav_mix"]
+            mix = mb["wav_mix"]
             if compute_dtype is not None:
                 mix = mix.astype(compute_dtype)
                 enroll = enroll.astype(compute_dtype)
@@ -258,18 +265,16 @@ def make_train_step(
             )
             if mutable:
                 outputs, new_model_state = out
-                stats = (
-                    new_model_state["batch_stats"]
-                    if keep_stats
-                    else state.batch_stats
+                new_stats = (
+                    new_model_state["batch_stats"] if keep_stats else stats
                 )
-                return outputs, stats
-            return out, state.batch_stats
+                return outputs, new_stats
+            return out, stats
 
         def _ssa_enroll(params):
             """No-grad estimate -> (fbank'd) enrollment
             (executor.py:91-99)."""
-            outputs, _ = _forward(params, batch["spk_embeds"],
+            outputs, _ = _forward(params, mb["spk_embeds"],
                                   keep_stats=False)
             est = outputs[0]
             if isinstance(est, (list, tuple)):
@@ -296,8 +301,8 @@ def make_train_step(
                 outputs, new_stats = _forward(params, enroll)
                 loss = weighted_loss(
                     outputs,
-                    batch["wav_targets"],
-                    batch.get("spk_label"),
+                    mb["wav_targets"],
+                    mb.get("spk_label"),
                     criterion,
                     loss_posi,
                     loss_weight,
@@ -306,19 +311,54 @@ def make_train_step(
                 return loss, new_stats
 
             if ssa_enroll_prob <= 0:
-                return _loss_with(batch["spk_embeds"])
+                return _loss_with(mb["spk_embeds"])
             do_ssa = jax.random.uniform(
-                jax.random.fold_in(base_rng, 2)
+                jax.random.fold_in(rng, 2)
             ) < ssa_enroll_prob
             return jax.lax.cond(
                 do_ssa,
                 lambda: _loss_with(_ssa_enroll(params)),
-                lambda: _loss_with(batch["spk_embeds"]),
+                lambda: _loss_with(mb["spk_embeds"]),
             )
 
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    def train_step(state: TrainState, batch):
+        base_rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
+        if accum_steps <= 1:
+            (loss, new_stats), grads = _grads_one(
+                state.params, state.batch_stats, batch, base_rng
+            )
+        else:
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape(
+                    (accum_steps, x.shape[0] // accum_steps) + x.shape[1:]
+                ),
+                batch,
+            )
+            zero_grads = jax.tree_util.tree_map(
+                jnp.zeros_like, state.params
+            )
+
+            def body(carry, xs):
+                g_acc, stats, l_acc = carry
+                mb, i = xs
+                (l, new_stats), g = _grads_one(
+                    state.params, stats, mb, jax.random.fold_in(base_rng, i)
+                )
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                return (g_acc, new_stats, l_acc + l), None
+
+            (g_sum, new_stats, l_sum), _ = jax.lax.scan(
+                body,
+                (zero_grads, state.batch_stats, jnp.zeros((), jnp.float32)),
+                (micro, jnp.arange(accum_steps)),
+            )
+            grads = jax.tree_util.tree_map(
+                lambda g: g / accum_steps, g_sum
+            )
+            loss = l_sum / accum_steps
+
         updates, new_opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
