@@ -172,13 +172,11 @@ def train_gan(config: str, checkpoint=None, overrides=None, **kwargs):
         "pesq_host": metric_pesq_callback,
         "sisdr": metric_sisdr_norm,
     }[metric_name]
-    step = jax.jit(
-        make_gan_train_step(
-            model, discriminator, g_opt, d_opt, criterion,
-            loss_posi, loss_weight, multi_task,
-            gan_loss_weight=configs.get("gan_loss_weight", 0.05),
-            metric_fn=metric,
-        )
+    gan_step = make_gan_train_step(
+        model, discriminator, g_opt, d_opt, criterion,
+        loss_posi, loss_weight, multi_task,
+        gan_loss_weight=configs.get("gan_loss_weight", 0.05),
+        metric_fn=metric,
     )
     eval_step = jax.jit(make_eval_step(model, criterion))
 
@@ -211,13 +209,46 @@ def train_gan(config: str, checkpoint=None, overrides=None, **kwargs):
             if isinstance(v, np.ndarray) and v.dtype.kind in "fiu"
         }
 
+    # data parallelism over the device mesh (replaces the reference's
+    # DDP in train_gan.py:66-70,227-229): both G and D states replicated,
+    # batch rows sharded on the 'data' axis; XLA inserts the gradient
+    # all-reduces for both optimizers
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from wesep_tpu.train.trainer import shard_batch
+
+    n_devices = jax.local_device_count()
+    n_rows = example_batch["wav_mix"].shape[0]
+    mesh_devices = n_devices
+    while n_rows % mesh_devices:
+        mesh_devices -= 1
+    if mesh_devices != n_devices:
+        logger.warning(
+            "batch rows %d not divisible by %d devices; using %d",
+            n_rows, n_devices, mesh_devices,
+        )
+    mesh = Mesh(
+        np.asarray(jax.devices()[:mesh_devices]).reshape(mesh_devices),
+        ("data",),
+    )
+    replicated = NamedSharding(mesh, P())
+    step = jax.jit(
+        gan_step,
+        in_shardings=((replicated, replicated),
+                      NamedSharding(mesh, P("data"))),
+    )
+
+    def put(batch):
+        return shard_batch(to_arrays(batch), mesh)
+
     states = (g_state, d_state)
     g_curve, v_curve = [], []
     for epoch in range(1, configs["num_epochs"] + 1):
         train_loader.set_epoch(epoch)
         losses = []
         for i, batch in enumerate(train_loader):
-            states, m = step(states, to_arrays(batch))
+            states, m = step(states, put(batch))
             losses.append(m)
             if (i + 1) == epoch_iter:
                 break
