@@ -10,7 +10,7 @@ stage=1
 stop_stage=6
 librimix_dir=/path/to/Libri2Mix/wav16k/min
 data=data
-config=confs/bsrnn_v1.yaml
+config=confs/bsrnn.yaml
 spk_ckpt=/path/to/speaker_encoder.ckpt
 spk_model=ResNet34
 exp_dir=$(python -c "import yaml,sys;print(yaml.safe_load(open('$config'))['exp_dir'])")

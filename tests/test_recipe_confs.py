@@ -63,13 +63,7 @@ def test_conf_inventory_matches_reference():
     )
     have = {os.path.relpath(p, os.path.join(REPO, "examples"))
             for p in CONFS}
-    # v1 bsrnn.yaml is named bsrnn_v1.yaml here (documented rename)
-    renames = {"librimix/tse/v1/confs/bsrnn.yaml":
-               "librimix/tse/v1/confs/bsrnn_v1.yaml"}
-    missing = [
-        r for r in ref
-        if r not in have and renames.get(r, r) not in have
-    ]
+    missing = [r for r in ref if r not in have]
     assert not missing, f"confs without counterpart: {missing}"
 
 
