@@ -160,13 +160,18 @@ class TCNStack(nn.Module):
     causal: bool = False
     skip_con: bool = False
     start_dilation: int = 0
+    # rematerialize each block in backward: the TCN is HBM-traffic
+    # bound (BASELINE.md SpEx+ analysis), so recomputing can beat
+    # saving/reloading the [B, T', H] intermediates
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
         skip_sum = 0.0
+        blk_cls = nn.remat(TCNBlock) if self.remat else TCNBlock
         for _ in range(self.R):
             for p in range(self.start_dilation, self.X):
-                blk = TCNBlock(
+                blk = blk_cls(
                     conv_channels=self.conv_channels,
                     kernel_size=self.kernel_size,
                     dilation=2**p,
@@ -312,6 +317,7 @@ class ConvTasNet(nn.Module):
     spks_in_train: int = 251
     spk_feat: bool = False
     feat_type: str = "consistent"
+    remat: bool = False  # rematerialize TCN blocks (see TCNStack.remat)
 
     def _activation(self, x):
         if self.activate == "relu":
@@ -393,6 +399,7 @@ class ConvTasNet(nn.Module):
                         causal=self.causal,
                         skip_con=self.skip_con,
                         start_dilation=1,
+                        remat=self.remat,
                         name=f"tcn_{r}",
                     )(x)
                 else:
@@ -409,6 +416,7 @@ class ConvTasNet(nn.Module):
                         norm=self.norm,
                         causal=self.causal,
                         skip_con=self.skip_con,
+                        remat=self.remat,
                         name=f"tcn_{r}",
                     )(x)
         else:
@@ -432,6 +440,7 @@ class ConvTasNet(nn.Module):
                 norm=self.norm,
                 causal=self.causal,
                 skip_con=self.skip_con,
+                remat=self.remat,
                 name="tcn",
             )(x)
 
