@@ -120,6 +120,22 @@ def prepare_split(mix_dir: str, out_dir: str, rng: random.Random,
                             f"{utt} s{idx} missing from {mix2enroll_file}"
                         )
                     maps[idx][utt] = (eu, None)
+            # the official enrollment ids must resolve against this
+            # split's source pool (enroll_wav.scp is keyed by bare wsj0
+            # utterance ids of the split's s1/s2 renditions) — fail at
+            # prep time, not with a KeyError mid-decode
+            avail = {u for pairs in spk2utts.values() for u, _ in pairs}
+            unresolved = sorted({
+                eu for idx in (1, 2)
+                for eu, _ in maps[idx].values() if eu not in avail
+            })
+            if unresolved:
+                raise KeyError(
+                    f"{len(unresolved)} enrollment utterances from "
+                    f"{mix2enroll_file} are not source utterances of this "
+                    f"split (e.g. {unresolved[:5]}); enroll_wav.scp can "
+                    "only resolve same-split wsj0 utterance ids"
+                )
         else:
             # deterministic enrollment: a DIFFERENT utterance of the same
             # speaker when one exists
@@ -147,7 +163,6 @@ def main():
     args = get_args()
     rng = random.Random(args.seed)
     m2e = dict(p.split(":", 1) for p in args.mix2enroll)
-    os.makedirs(os.path.join(args.out_dir, "musan"), exist_ok=True)
     for pair in args.splits:
         src, dst = pair.split(":")
         mix_dir = os.path.join(args.wsj0_2mix_dir, src)

@@ -17,7 +17,7 @@ import sys
 import pytest
 import yaml
 
-from test_prepare_wsj0_2mix import PREP, REPO, _build_tree, _run_prep
+from test_prepare_wsj0_2mix import REPO, _build_tree, _run_prep
 
 CONF = os.path.join(
     REPO, "examples", "wsj0_2mix", "tse", "v2", "confs", "bsrnn.yaml"

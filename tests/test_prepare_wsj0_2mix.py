@@ -138,3 +138,24 @@ def test_prep_script_importable():
     spec.loader.exec_module(mod)
     assert mod.spk_of("011a0101") == "011"
     assert mod.split_key("a_1_b_2") == ("a", "b")
+
+
+def test_prepare_wsj0_2mix_unresolvable_official_map(tmp_path):
+    """Official map entries must resolve against the split's own source
+    pool (enroll_wav.scp keys) — prep fails loudly, not bin/infer."""
+    root = str(tmp_path / "wsj0mix")
+    _build_tree(root)
+    m2e = tmp_path / "map_tt"
+    lines = []
+    for u1, snr1, u2, snr2 in MIXES["tt"]:
+        key = f"{u1}_{snr1}_{u2}_{snr2}"
+        lines.append(f"{key} {u1} 999x9999")  # foreign enrollment utt
+        lines.append(f"{key} {u2} {u2}")
+    m2e.write_text("\n".join(lines) + "\n")
+    try:
+        _run_prep(root, str(tmp_path / "data"),
+                  extra=["--mix2enroll", f"test:{m2e}"])
+    except subprocess.CalledProcessError as e:
+        assert "not source utterances" in e.stderr
+    else:
+        raise AssertionError("expected prep to fail on unresolvable id")

@@ -160,7 +160,10 @@ def infer(config: str, overrides=None, **kwargs):
     rows_per_step = int(configs.get("infer_batch_size", 2 * n_dev))
     rows_per_step = max(n_dev,
                         (rows_per_step + n_dev - 1) // n_dev * n_dev)
-    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    # local devices only: each process decodes its own utterances from
+    # host-local buffers (a global mesh would need globally-addressable
+    # inputs, which whole-utterance decode does not have)
+    mesh = Mesh(np.asarray(jax.local_devices()), ("data",))
     row_sh = NamedSharding(mesh, P("data"))
     rep_sh = NamedSharding(mesh, P())
 

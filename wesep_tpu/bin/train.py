@@ -403,14 +403,22 @@ def train(config: str, checkpoint=None, overrides=None, **kwargs):
         raise ValueError(
             f"model_axis={model_axis} must divide device count {n_devices}"
         )
+    if model_axis > 1 and not getattr(model, "shard_model_axis", False):
+        raise ValueError(
+            f"model_axis={model_axis} requested but model "
+            f"'{model_name}' has no model-axis sharding support — the "
+            "model axis would run fully redundant compute"
+        )
     data_devices = n_devices // model_axis
     while micro_rows % data_devices:
         data_devices -= 1
     mesh_devices = data_devices * model_axis
     if mesh_devices != n_devices and rank == 0:
         logger.warning(
-            "batch rows %d not divisible by %d data devices; using %d",
-            n_rows, n_devices // model_axis, data_devices,
+            "microbatch rows %d (batch rows %d / accum_grad %d) not "
+            "divisible by %d data devices; using %d",
+            micro_rows, n_rows, accum_steps,
+            n_devices // model_axis, data_devices,
         )
     if model_axis > 1:
         mesh = Mesh(
@@ -424,10 +432,9 @@ def train(config: str, checkpoint=None, overrides=None, **kwargs):
                 "mesh: %d data x %d model devices", data_devices, model_axis
             )
     else:
-        mesh = Mesh(
-            np.asarray(jax.devices()[:mesh_devices]).reshape(mesh_devices),
-            ("data",),
-        )
+        from wesep_tpu.train.trainer import fit_data_mesh
+
+        mesh = fit_data_mesh(micro_rows)
     p_train = make_data_parallel(train_step, mesh, donate_state=True)
     p_eval = jax.jit(eval_step)
 

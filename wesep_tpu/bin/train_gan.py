@@ -213,31 +213,20 @@ def train_gan(config: str, checkpoint=None, overrides=None, **kwargs):
     # DDP in train_gan.py:66-70,227-229): both G and D states replicated,
     # batch rows sharded on the 'data' axis; XLA inserts the gradient
     # all-reduces for both optimizers
-    from jax.sharding import Mesh, NamedSharding
-    from jax.sharding import PartitionSpec as P
+    from wesep_tpu.train.trainer import (
+        fit_data_mesh,
+        make_data_parallel,
+        shard_batch,
+    )
 
-    from wesep_tpu.train.trainer import shard_batch
-
-    n_devices = jax.local_device_count()
     n_rows = example_batch["wav_mix"].shape[0]
-    mesh_devices = n_devices
-    while n_rows % mesh_devices:
-        mesh_devices -= 1
-    if mesh_devices != n_devices:
+    mesh = fit_data_mesh(n_rows)
+    if mesh.size != jax.device_count():
         logger.warning(
             "batch rows %d not divisible by %d devices; using %d",
-            n_rows, n_devices, mesh_devices,
+            n_rows, jax.device_count(), mesh.size,
         )
-    mesh = Mesh(
-        np.asarray(jax.devices()[:mesh_devices]).reshape(mesh_devices),
-        ("data",),
-    )
-    replicated = NamedSharding(mesh, P())
-    step = jax.jit(
-        gan_step,
-        in_shardings=((replicated, replicated),
-                      NamedSharding(mesh, P("data"))),
-    )
+    step = make_data_parallel(gan_step, mesh, donate_state=False)
 
     def put(batch):
         return shard_batch(to_arrays(batch), mesh)

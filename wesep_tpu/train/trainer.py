@@ -26,6 +26,7 @@ from typing import Any, Callable, Optional, Sequence
 import flax
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -190,8 +191,13 @@ def make_train_step(
     equivalent; wenet's `accum_grad` semantics): the batch's row axis is
     split into accum_steps equal microbatches, a lax.scan accumulates
     the mean gradient (and threads BatchNorm stats sequentially), and
-    the optimizer applies ONE update — same numbers as the full batch,
-    1/accum_steps the activation HBM. Row counts must divide evenly.
+    the optimizer applies ONE update. Row counts must divide evenly.
+    For plain losses this reproduces the full-batch numbers exactly;
+    stochastic per-batch features become per-MICRObatch under
+    accumulation (the SSA coin flips and device-augmentation RNG draws
+    are independent per microbatch, and BatchNorm running stats update
+    accum_steps times per optimizer step) — a different but equally
+    valid randomization, not a silent no-op.
 
     ssa_enroll_prob > 0 enables single-optimization Self-estimated Speech
     Augmentation (reference executor.py:89-102): with that probability per
@@ -391,6 +397,15 @@ def make_eval_step(model, criterion: Sequence[Callable]):
         return {"loss": loss}
 
     return eval_step
+
+
+def fit_data_mesh(n_rows: int, devices=None) -> Mesh:
+    """Largest 1-D 'data' mesh whose size divides the batch row count."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    while n_rows % n:
+        n -= 1
+    return Mesh(np.asarray(devices[:n]).reshape(n), ("data",))
 
 
 def make_data_parallel(step_fn, mesh: Mesh, donate_state: bool = True):
