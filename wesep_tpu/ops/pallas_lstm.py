@@ -35,21 +35,51 @@ def pallas_available() -> bool:
     return plat in ("tpu", "axon")
 
 
-def _pick_b_tile(b: int, h4: int, dtype) -> int:
-    """Largest batch tile (multiple of 8) that keeps the backward kernel's
-    working set inside VMEM.
+# The grid of every kernel here is (nb, T) and Pallas grids run
+# SEQUENTIALLY on the core, so total sequential steps = nb * T. The tile
+# pickers model each kernel's actual VMEM working set (the pipeline
+# double-buffers every block whose index map varies; weights are single-
+# buffered) and take the LARGEST tile that fits. Measured on v5e this is
+# only a ~1% end-to-end win (BSRNN band fwd nb 4 -> 1, TF-GridNet intra
+# fwd nb 10 -> 2, both nearly neutral): per-grid-step time scales with
+# the tile (the VPU gate math is the per-step bound, not dot-issue
+# latency), so fewer-but-bigger steps mostly conserve total time. Kept
+# because the accurate model also ADMITS large single-tile folds that
+# the old heuristic rejected, and it documents the real VMEM shape.
+_VMEM_BUDGET = 11 * 1024 * 1024  # of ~16MB/core; headroom for Mosaic
 
-    Per tile the backward holds ~2 double-buffered [tile, 4H] streams
-    (xw, dxw) + 6 [tile, H] blocks + f32 scratch — the dominant term is
-    ~6 * tile * 4H * bytes; budget it at ~10MB of the 16MB VMEM."""
-    bytes_per = 2 if dtype == jnp.bfloat16 else 4
-    budget = 10 * 1024 * 1024
-    tile = max(budget // (6 * h4 * max(bytes_per, 4)), 8)
-    tile = (tile // 8) * 8
+
+def _divisor_tile(b: int, cap: int) -> int:
+    """Largest multiple-of-8 divisor of b that is <= cap."""
+    tile = max((cap // 8) * 8, 8)
     tile = min(tile, b)
     while tile > 1 and b % tile:
         tile -= 8 if tile > 8 else 1
     return max(tile, 1)
+
+
+def _pick_b_tile(b: int, h4: int, dtype) -> int:
+    """Tile for the unidirectional FORWARD kernel (_forward).
+
+    Per tile*h4 bytes: xw in (dbl) 2s + ys out (dbl, H) s/2 + cs out
+    (dbl, H, f32) 2 + scratch (2xH f32) 2; fixed: wh."""
+    s = 2 if dtype == jnp.bfloat16 else 4
+    h = h4 // 4
+    fixed = h * h4 * s
+    cap = max(_VMEM_BUDGET - fixed, 0) // int((2.5 * s + 4) * h4)
+    return _divisor_tile(b, cap)
+
+
+def _pick_b_tile_bwd(b: int, h4: int, dtype) -> int:
+    """Tile for the unidirectional BACKWARD kernel (_bwd).
+
+    Per tile*h4 bytes: xw+dxw (dbl) 4s + ys/dys prev (dbl, H) s +
+    cs prev/cur (dbl, H, f32) 4 + scratch 2; fixed: wh + dwh acc/out."""
+    s = 2 if dtype == jnp.bfloat16 else 4
+    h = h4 // 4
+    fixed = h * h4 * (s + 12)
+    cap = max(_VMEM_BUDGET - fixed, 0) // ((5 * s + 6) * h4)
+    return _divisor_tile(b, cap)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -133,7 +163,7 @@ def _bwd(reverse, res, dys):
     xw, wh, ys, cs = res
     t_len, b, h4 = xw.shape
     h = h4 // 4
-    b_tile = _pick_b_tile(b, h4, xw.dtype)
+    b_tile = _pick_b_tile_bwd(b, h4, xw.dtype)
     nb = b // b_tile
     interpret = not pallas_available()
 
@@ -315,23 +345,36 @@ lstm_fused.defvjp(_fused_fwd, _fused_bwd)
 # dependency bubble (the PARITY.md "fuse both directions" lever).
 
 
-def _pick_b_tile_bi(b: int, h4: int, dtype) -> int:
-    """Batch tile for the bidirectional kernels (twice the streams of the
-    unidirectional ones — halve the VMEM budget)."""
-    bytes_per = 2 if dtype == jnp.bfloat16 else 4
-    budget = 5 * 1024 * 1024
-    tile = max(budget // (6 * h4 * max(bytes_per, 4)), 8)
-    tile = (tile // 8) * 8
-    tile = min(tile, b)
-    while tile > 1 and b % tile:
-        tile -= 8 if tile > 8 else 1
-    return max(tile, 1)
+def _pick_b_tile_bi_fwd(b: int, h4: int, dtype) -> int:
+    """Tile for _bi_forward: both directions' streams in one kernel.
+
+    Per tile*h4 bytes: xw in (2 dirs, dbl) 4s + ys out (2 dirs, dbl, H)
+    s + cs out (2 dirs, dbl, H, f32) 4 + scratch (4xH f32) 4;
+    fixed: 2x wh."""
+    s = 2 if dtype == jnp.bfloat16 else 4
+    h = h4 // 4
+    fixed = 2 * h * h4 * s
+    cap = max(_VMEM_BUDGET - fixed, 0) // ((5 * s + 8) * h4)
+    return _divisor_tile(b, cap)
+
+
+def _pick_b_tile_bi_bwd(b: int, h4: int, dtype) -> int:
+    """Tile for _bi_backward.
+
+    Per tile*h4 bytes: xw+dxw (2 dirs, dbl) 8s + ys/dys prev (2 dirs,
+    dbl, H) 2s + cs prev/cur (2 dirs, dbl, H, f32) 8 + scratch 4;
+    fixed: 2x (wh + dwh acc/out)."""
+    s = 2 if dtype == jnp.bfloat16 else 4
+    h = h4 // 4
+    fixed = 2 * h * h4 * (s + 12)
+    cap = max(_VMEM_BUDGET - fixed, 0) // ((10 * s + 12) * h4)
+    return _divisor_tile(b, cap)
 
 
 def _bi_forward(xw_f, xw_b, wh_f, wh_b):
     t_len, b, h4 = xw_f.shape
     h = h4 // 4
-    b_tile = _pick_b_tile_bi(b, h4, xw_f.dtype)
+    b_tile = _pick_b_tile_bi_fwd(b, h4, xw_f.dtype)
     nb = b // b_tile
     interpret = not pallas_available()
 
@@ -417,7 +460,7 @@ def _bi_backward(xw_f, xw_b, wh_f, wh_b, ys_f, ys_b, cs_f, cs_b,
                  dys_f, dys_b):
     t_len, b, h4 = xw_f.shape
     h = h4 // 4
-    b_tile = _pick_b_tile_bi(b, h4, xw_f.dtype)
+    b_tile = _pick_b_tile_bi_bwd(b, h4, xw_f.dtype)
     nb = b // b_tile
     interpret = not pallas_available()
 
