@@ -60,6 +60,15 @@ class Extractor:
         self.apply_vad = False
         self.wavform_norm = True
         self.output_norm = True
+        # decode shape policy: short mixtures pad to a length bucket
+        # (one XLA compile per bucket, not per length); mixtures longer
+        # than chunk_sec decode in fixed windows with cross-fade
+        # overlap-add (bounded memory + a single compiled shape — the
+        # Python mirror of the C++ TF-engine windowing,
+        # runtime/separate/tf_engine.cc)
+        self.length_bucket = 16000
+        self.chunk_sec = 30.0
+        self.chunk_overlap_sec = 2.0
         self.speaker_feat = model_args.get("spk_feat", False)
         self.joint_training = model_args.get("joint_training", False)
         self._jit_forward = jax.jit(
@@ -105,6 +114,54 @@ class Extractor:
     def set_output_norm(self, output_norm: bool):
         self.output_norm = output_norm
 
+    def set_chunk_decode(self, chunk_sec: float, overlap_sec: float = 2.0):
+        self.chunk_sec = float(chunk_sec)
+        self.chunk_overlap_sec = float(overlap_sec)
+
+    def _decode(self, mix: np.ndarray, cue: np.ndarray) -> np.ndarray:
+        """Run the jitted forward with a stable compile footprint."""
+        import jax.numpy as jnp
+
+        sr = self.resample_rate
+        t = mix.shape[-1]
+        win = int(self.chunk_sec * sr)
+        if t <= win:
+            bucket = int(self.length_bucket)
+            pad_len = max((t + bucket - 1) // bucket * bucket, bucket)
+            mix_p = np.zeros((1, pad_len), np.float32)
+            mix_p[0, :t] = mix
+            est = np.asarray(
+                self._jit_forward(
+                    self.variables, jnp.asarray(mix_p), jnp.asarray(cue)
+                )
+            )[0]
+            return est[:t]
+
+        # overlap-add: every window is full-length real audio (the last
+        # one is anchored at t - win), cross-faded with strictly
+        # positive trapezoid weights and normalized by the weight sum
+        hop = max(win - int(self.chunk_overlap_sec * sr), 1)
+        ov = win - hop
+        window = np.ones(win, np.float32)
+        if ov > 0:
+            ramp = (np.arange(1, ov + 1, dtype=np.float32)) / (ov + 1)
+            window[:ov] = ramp
+            window[win - ov:] = ramp[::-1]
+        out = np.zeros(t, np.float32)
+        wsum = np.zeros(t, np.float32)
+        starts = list(range(0, max(t - win, 0), hop)) + [t - win]
+        for s in starts:
+            est = np.asarray(
+                self._jit_forward(
+                    self.variables,
+                    jnp.asarray(mix[None, s:s + win]),
+                    jnp.asarray(cue),
+                )
+            )[0]
+            out[s:s + win] += est * window
+            wsum[s:s + win] += window
+        return out / np.maximum(wsum, 1e-12)
+
     def compute_fbank(self, wav: np.ndarray, sample_rate: int = 16000):
         import jax.numpy as jnp
 
@@ -128,8 +185,6 @@ class Extractor:
     def extract_speech_from_pcm(
         self, pcm_mix, sr_mix, pcm_enroll, sr_enroll
     ):
-        import jax.numpy as jnp
-
         from wesep_tpu.data.processor import _resample_wav
         from wesep_tpu.data.vad import trim_silence
 
@@ -153,11 +208,7 @@ class Extractor:
                 "pre-extracted-embedding models need an embedding input; "
                 "use a joint-training model with the CLI"
             )
-        est = np.asarray(
-            self._jit_forward(
-                self.variables, jnp.asarray(mix[None]), jnp.asarray(cue)
-            )
-        )[0]
+        est = self._decode(mix, np.asarray(cue))
         if self.output_norm:
             est = est / np.max(np.abs(est)) * 0.9
         return est, self.resample_rate
