@@ -169,3 +169,104 @@ def test_train_model_axis_parity(tmp_path):
         )
         hit = True
     assert hit
+
+
+def test_train_accum_grad_mesh_parity(tmp_path):
+    """accum_grad=2 through bin/train on the 8-device mesh: microbatch
+    rows (not batch rows) drive the data-axis fit, the in-step reshape
+    works on sharded arrays, and the final parameters match accum=1."""
+    import os
+
+    import yaml
+
+    from test_e2e import _make_premixed_shard
+    from wesep_tpu.bin.train import train
+    from wesep_tpu.utils.file_utils import write_vec_ark_scp
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    root = tmp_path
+    spks = ["spkA", "spkB", "spkC", "spkD"]
+    embeds = {
+        f"utt_{s}": (np.eye(4, 16)[i] + 0.01).astype(np.float32)
+        for i, s in enumerate(spks)
+    }
+    _, scp_path = write_vec_ark_scp(str(root / "embed"), embeds)
+    with open(root / "single.utt2spk", "w") as f:
+        for s in spks:
+            f.write(f"utt_{s} {s}\n")
+    train_keys = {
+        f"tr{i:02d}": (spks[i % 4], spks[(i + 1) % 4]) for i in range(8)
+    }
+    val_keys = {"cv00": (spks[0], spks[1])}
+    _make_premixed_shard(str(root / "train.tar"), train_keys, t=4000, seed=0)
+    _make_premixed_shard(str(root / "val.tar"), val_keys, t=4000, seed=1)
+    for name in ("train", "val"):
+        with open(root / f"{name}.list", "w") as f:
+            f.write(str(root / f"{name}.tar") + "\n")
+    for idx in (1, 2):
+        with open(root / f"val.spk{idx}_enroll", "w") as f:
+            for k, ss in val_keys.items():
+                f.write(f"{k} utt_{ss[idx - 1]}\n")
+
+    base = {
+        "data_type": "shard",
+        "train_data": str(root / "train.list"),
+        "val_data": str(root / "val.list"),
+        "train_spk_embeds": scp_path,
+        "train_utt2spk": str(root / "single.utt2spk"),
+        "val_spk_embeds": scp_path,
+        "val_spk1_enroll": str(root / "val.spk1_enroll"),
+        "val_spk2_enroll": str(root / "val.spk2_enroll"),
+        "seed": 9,
+        "num_epochs": 1,
+        "loss": "SISDR",
+        "loss_args": {},
+        "dataloader_args": {"batch_size": 4, "prefetch_factor": 0},
+        "dataset_args": {
+            "resample_rate": 16000,
+            "shuffle": False,
+            "chunk_len": 2000,
+            "sample_num_per_epoch": 8,
+        },
+        "model": {"tse_model": "BSRNN"},
+        "model_args": {
+            "tse_model": {
+                "spk_emb_dim": 16, "feature_dim": 8, "num_repeat": 1,
+                "joint_training": False, "use_spk_transform": False,
+                "spk_fuse_type": "multiply", "multi_fuse": False,
+            }
+        },
+        "model_init": {"tse_model": None},
+        "optimizer": {"tse_model": "Adam"},
+        "optimizer_args": {"tse_model": {"lr": 1e-3}},
+        "scheduler": {"tse_model": "ExponentialDecrease"},
+        "scheduler_args": {
+            "tse_model": {
+                "initial_lr": 1e-3, "final_lr": 1e-4,
+                "warm_up_epoch": 0, "warm_from_zero": False,
+            }
+        },
+    }
+
+    params = {}
+    for accum in (1, 2):
+        cfg = dict(base, exp_dir=str(root / f"exp_ac{accum}"),
+                   accum_grad=accum)
+        cfg_path = str(root / f"cfg_ac{accum}.yaml")
+        with open(cfg_path, "w") as f:
+            yaml.dump(cfg, f)
+        state = train(cfg_path)
+        assert int(state.step) == 2
+        params[accum] = jax.tree_util.tree_map(np.asarray, state.params)
+        assert os.path.exists(
+            os.path.join(root / f"exp_ac{accum}", "models",
+                         "checkpoint_1.ckpt")
+        )
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params[1]),
+        jax.tree_util.tree_leaves(params[2]),
+    ):
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4)
