@@ -377,6 +377,9 @@ def train(config: str, checkpoint=None, overrides=None, **kwargs):
         state = restore_train_state(state, checkpoint)
         m = re.findall(r"(?<=checkpoint_)\d+(?=\.ckpt)", checkpoint)
         start_epoch = int(m[0]) + 1 if m else 1
+        mp = re.findall(r"(?<=preempt_epoch)\d+(?=\.ckpt)", checkpoint)
+        if mp:  # redo the interrupted epoch with the saved optimizer state
+            start_epoch = int(mp[0])
         logger.info("Load checkpoint: %s", checkpoint)
     logger.info("start_epoch: %d", start_epoch)
 
@@ -447,6 +450,22 @@ def train(config: str, checkpoint=None, overrides=None, **kwargs):
 
     executor = Executor()
     train_losses, val_losses = [], []
+
+    # preemption safety: SIGTERM (the TPU-pod eviction signal) requests a
+    # clean stop at the next batch boundary; the loop then writes a
+    # resumable mid-epoch checkpoint instead of losing the epoch
+    stop_requested = {"flag": False}
+
+    def _on_term(signum, frame):
+        stop_requested["flag"] = True
+
+    try:
+        import signal
+
+        signal.signal(signal.SIGTERM, _on_term)
+    except ValueError:
+        pass  # not the main thread (in-process callers/tests)
+
     if rank == 0:
         logger.info(table_row(("Train/Val", "Epoch", "iter", "Loss", "rate")))
     for epoch in range(start_epoch, configs["num_epochs"] + 1):
@@ -457,7 +476,30 @@ def train(config: str, checkpoint=None, overrides=None, **kwargs):
             state, train_loss = executor.train(
                 train_loader, p_train, state, epoch_iter, epoch, logger,
                 configs.get("log_batch_interval", 100), device_put_train,
+                should_stop=lambda: stop_requested["flag"],
             )
+            if executor.stopped:
+                if rank == 0:
+                    ckpt_name = f"preempt_epoch{epoch}.ckpt"
+                    save_checkpoint(
+                        os.path.join(model_dir, ckpt_name),
+                        [state.params],
+                        [state.opt_state],
+                        [state.batch_stats],
+                        step=int(state.step),
+                    )
+                    latest = os.path.join(
+                        model_dir, "latest_checkpoint.ckpt"
+                    )
+                    if os.path.islink(latest) or os.path.exists(latest):
+                        os.remove(latest)
+                    os.symlink(ckpt_name, latest)
+                    logger.warning(
+                        "preempted during epoch %d: saved %s; resume with "
+                        "--checkpoint (epoch %d restarts with this "
+                        "optimizer state)", epoch, ckpt_name, epoch,
+                    )
+                break
             val_loss = executor.cv(
                 val_loader, p_eval, state, val_iter, epoch, logger,
                 configs.get("log_batch_interval", 100), device_put_train,
@@ -505,7 +547,7 @@ def train(config: str, checkpoint=None, overrides=None, **kwargs):
                 if os.path.islink(latest) or os.path.exists(latest):
                     os.remove(latest)
                 os.symlink(ckpt_name, latest)
-    if rank == 0:
+    if rank == 0 and not executor.stopped:
         final = os.path.join(model_dir, "final_checkpoint.ckpt")
         if os.path.islink(final) or os.path.exists(final):
             os.remove(final)

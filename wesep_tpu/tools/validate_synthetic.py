@@ -35,6 +35,44 @@ def get_args():
     return parser.parse_args()
 
 
+def model_args_for(args):
+    """Small pre-extracted-embedding configs per flagship family (the
+    same contract as the recipe confs, scaled for a quick synthetic
+    convergence run)."""
+    name = args.model
+    if name.startswith("BSRNN"):
+        return {
+            "sr": 16000, "win": 512, "stride": 128,
+            "feature_dim": args.feature_dim,
+            "num_repeat": args.num_repeat,
+            "spk_fuse_type": "multiply", "use_spk_transform": False,
+            "multi_fuse": False, "joint_training": False,
+            "spk_emb_dim": 32,
+        }
+    if name == "DPCCN":
+        return {
+            "win": 512, "stride": 128, "spk_emb_dim": 32,
+            "spk_fuse_type": "multiply", "use_spk_transform": False,
+            "tcn_layers": 1, "joint_training": False,
+        }
+    if name == "TFGridNet":
+        return {
+            "n_layers": 2, "lstm_hidden_units": 48, "emb_dim": 16,
+            "attn_n_head": 2, "attn_approx_qk_dim": 128,
+            "emb_ks": 4, "emb_hs": 1, "spk_emb_dim": 32,
+            "spk_fuse_type": "multiply", "joint_training": False,
+        }
+    if name == "ConvTasNet":  # SpEx+ family, single-scale decoder
+        return {
+            "L": 20, "N": 128, "X": 6, "R": 2, "B": 128, "H": 256,
+            "P": 3, "norm": "gLN", "causal": False, "skip_con": False,
+            "spk_emb_dim": 32, "spk_fuse_type": "concatConv",
+            "encoder_type": "Multi", "decoder_type": "Single",
+            "joint_training": False,
+        }
+    raise ValueError(f"no synthetic-validation config for {name}")
+
+
 def synth_utt(rng, spk_freqs, t=48000, sr=16000):
     """Amplitude-modulated multi-tone 'speech' with a speaker-specific
     spectral envelope."""
@@ -143,14 +181,7 @@ def main():
             "sample_num_per_epoch": n_train,
         },
         "model": {"tse_model": args.model},
-        "model_args": {"tse_model": {
-            "sr": 16000, "win": 512, "stride": 128,
-            "feature_dim": args.feature_dim,
-            "num_repeat": args.num_repeat,
-            "spk_fuse_type": "multiply", "use_spk_transform": False,
-            "multi_fuse": False, "joint_training": False,
-            "spk_emb_dim": 32,
-        }},
+        "model_args": {"tse_model": model_args_for(args)},
         "model_init": {"tse_model": None},
         "optimizer": {"tse_model": "Adam"},
         "optimizer_args": {"tse_model": {"lr": 1e-3,

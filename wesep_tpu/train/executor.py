@@ -19,6 +19,7 @@ __all__ = ["Executor"]
 class Executor:
     def __init__(self):
         self.step = 0
+        self.stopped = False
 
     def train(
         self,
@@ -31,13 +32,28 @@ class Executor:
         log_batch_interval: int = 100,
         device_put: Optional[Callable] = None,
         sample_rate: int = 16000,
+        should_stop: Optional[Callable[[], bool]] = None,
     ):
-        """One training epoch -> (state, avg_loss)."""
+        """One training epoch -> (state, avg_loss).
+
+        should_stop (checked between batches) requests a clean early
+        exit — the preemption hook; `self.stopped` reports whether the
+        epoch ended early so the caller can checkpoint and shut down.
+        """
         from wesep_tpu.utils.profiling import ThroughputMeter
 
+        self.stopped = False
         losses = []
         meter = ThroughputMeter(sample_rate=sample_rate)
         for i, batch in enumerate(dataloader):
+            if should_stop is not None and should_stop():
+                self.stopped = True
+                if logger:
+                    logger.warning(
+                        "stop requested: ending epoch %d after %d batches",
+                        epoch, i,
+                    )
+                break
             meter.update(batch)
             if device_put is not None:
                 batch = device_put(batch)
