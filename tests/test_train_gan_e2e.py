@@ -101,3 +101,29 @@ def test_train_gan_binary(tmp_path):
     assert os.path.exists(
         os.path.join(str(root / "exp_gan"), "models", "checkpoint_1.ckpt")
     )
+
+
+def test_train_gan_resume(tmp_path):
+    """GAN resume: --checkpoint restores BOTH optimizer states and the
+    epoch counter (reference train_gan.py resume semantics)."""
+    import yaml as _yaml
+
+    # reuse the fixture by running the binary test body first
+    test_train_gan_binary(tmp_path)
+    cfg_path = str(tmp_path / "gan.yaml")
+    with open(cfg_path) as f:
+        cfg = _yaml.safe_load(f)
+    ckpt1 = os.path.join(cfg["exp_dir"], "models", "checkpoint_1.ckpt")
+    assert os.path.exists(ckpt1)
+
+    from wesep_tpu.bin.train_gan import train_gan
+
+    states = train_gan(cfg_path, checkpoint=ckpt1,
+                       overrides=["num_epochs=2"])
+    gen_state, dis_state = states
+    # epoch 2 only: 2 restored iters + 2 new
+    assert int(gen_state.step) == 4
+    assert int(dis_state.step) == 4
+    assert os.path.exists(
+        os.path.join(cfg["exp_dir"], "models", "checkpoint_2.ckpt")
+    )

@@ -231,16 +231,64 @@ def train_gan(config: str, checkpoint=None, overrides=None, **kwargs):
     def put(batch):
         return shard_batch(to_arrays(batch), mesh)
 
+    start_epoch = 1
+    if checkpoint:
+        import re
+
+        from wesep_tpu.train.checkpoint import restore_train_state
+
+        g_state = restore_train_state(g_state, checkpoint, model_index=0)
+        d_state = restore_train_state(d_state, checkpoint, model_index=1)
+        m = re.findall(r"(?<=checkpoint_)\d+(?=\.ckpt)", checkpoint)
+        start_epoch = int(m[0]) + 1 if m else 1
+        mp = re.findall(r"(?<=preempt_epoch)\d+(?=\.ckpt)", checkpoint)
+        if mp:  # redo the interrupted epoch with the saved optimizers
+            start_epoch = int(mp[0])
+        logger.info("Load checkpoint: %s (start_epoch %d)", checkpoint,
+                    start_epoch)
+
     states = (g_state, d_state)
     g_curve, v_curve = [], []
-    for epoch in range(1, configs["num_epochs"] + 1):
+
+    # preemption safety (same contract as bin/train): SIGTERM saves a
+    # resumable mid-epoch bundle for BOTH optimizers and exits cleanly
+    stop_requested = {"flag": False}
+
+    def _on_term(signum, frame):
+        stop_requested["flag"] = True
+
+    try:
+        import signal
+
+        signal.signal(signal.SIGTERM, _on_term)
+    except ValueError:
+        pass
+
+    for epoch in range(start_epoch, configs["num_epochs"] + 1):
         train_loader.set_epoch(epoch)
         losses = []
         for i, batch in enumerate(train_loader):
+            if stop_requested["flag"]:
+                break
             states, m = step(states, put(batch))
             losses.append(m)
             if (i + 1) == epoch_iter:
                 break
+        if stop_requested["flag"]:
+            if rank == 0:
+                ckpt_name = f"preempt_epoch{epoch}.ckpt"
+                save_checkpoint(
+                    os.path.join(model_dir, ckpt_name),
+                    [states[0].params, states[1].params],
+                    [states[0].opt_state, states[1].opt_state],
+                    [states[0].batch_stats, states[1].batch_stats],
+                    step=int(states[0].step),
+                )
+                logger.warning(
+                    "preempted during epoch %d: saved %s; resume with "
+                    "--checkpoint", epoch, ckpt_name,
+                )
+            break
         avg = {
             k: float(np.mean([float(mm[k]) for mm in losses]))
             for k in losses[0]
@@ -269,7 +317,7 @@ def train_gan(config: str, checkpoint=None, overrides=None, **kwargs):
 
                 plt.figure()
                 plt.title("Loss of Train and Validation")
-                x = list(range(1, epoch + 1))
+                x = list(range(start_epoch, epoch + 1))
                 plt.plot(x, g_curve, "b-", label="Train Loss",
                          linewidth=0.8)
                 plt.plot(x, v_curve, "c-", label="Validation Loss",
