@@ -299,3 +299,49 @@ def test_datalist_sharding():
     dl.set_epoch(3)
     b = [d["src"] for d in dl]
     assert a == b
+
+
+def test_pipeline_skips_corrupt_shard_members(tmp_path):
+    """Corrupt members (truncated wav bytes, junk extension) must be
+    skipped with a warning, not crash the epoch (reference
+    processor.py:87-88 failure handling)."""
+    import tarfile as _tarfile
+
+    from wesep_tpu.data import BatchLoader, Dataset, tse_collate_fn
+
+    shard = _write_premixed_shard(str(tmp_path / "shard0.tar"), n_utts=3)
+    # append a corrupt utterance + an unknown-extension member
+    with _tarfile.open(shard, "a") as tar:
+
+        def add(name, data):
+            info = _tarfile.TarInfo(name)
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+
+        add("bad000.spk1", b"spkA0")
+        add("bad000.spk2", b"spkB0")
+        add("bad000.wav", b"RIFFgarbage-not-a-wav")
+        add("bad000_spk1.wav", b"\x00\x01")
+        add("bad000_spk2.wav", b"\x00\x01")
+        add("junk.xyz", b"???")
+
+    lst = str(tmp_path / "data.list")
+    with open(lst, "w") as f:
+        f.write(shard + "\n")
+    spk_embeds = {
+        f"spk{ab}{i}": [np.ones((1, 17), np.float32) * i]
+        for ab in "AB"
+        for i in range(2)
+    }
+    ds = Dataset(
+        "shard", lst,
+        {"resample_rate": 16000, "shuffle": False, "chunk_len": 4000},
+        spk2embed_dict=spk_embeds, state="train", joint_training=False,
+        rank=0, world_size=1,
+    )
+    loader = BatchLoader(ds, batch_size=1, collate_fn=tse_collate_fn,
+                         prefetch=0, drop_last=False)
+    loader.set_epoch(0)
+    keys = [k for b in loader for k in b["key"]]
+    assert len(keys) == 6  # 3 good utts x 2 rows; corrupt one dropped
+    assert all(not k.startswith("bad") for k in keys)

@@ -111,10 +111,18 @@ def tar_file_and_group(data: Iterable[dict]) -> Iterator[dict]:
             prefix, postfix = name[:pos], name[pos + 1 :]
             if prev_prefix is not None and prev_prefix not in prefix:
                 example["key"] = prev_prefix
-                if valid:
+                # completeness gate: a group whose member failed to parse
+                # (valid=False) or that never produced a mixture (stray
+                # non-sample members in the tar) is dropped with a
+                # warning, never yielded as a partial sample
+                if valid and "wav_mix" in example and num_speakers > 0:
                     example["num_speaker"] = num_speakers
-                    num_speakers = 0
                     yield example
+                elif valid:
+                    logging.warning(
+                        "dropping incomplete shard group %s", prev_prefix
+                    )
+                num_speakers = 0
                 example = {}
                 valid = True
             with stream.extractfile(tarinfo) as file_obj:
@@ -141,8 +149,12 @@ def tar_file_and_group(data: Iterable[dict]) -> Iterator[dict]:
         if prev_prefix is not None:
             example["key"] = prev_prefix
             example["num_speaker"] = num_speakers
-            if valid:
+            if valid and "wav_mix" in example and num_speakers > 0:
                 yield example
+            elif valid:
+                logging.warning(
+                    "dropping incomplete shard group %s", prev_prefix
+                )
         stream.close()
         if "process" in sample:
             sample["process"].communicate()
@@ -164,8 +176,12 @@ def tar_file_and_group_single_spk(data: Iterable[dict]) -> Iterator[dict]:
             prefix, postfix = name[:pos], name[pos + 1 :]
             if prev_prefix is not None and prefix != prev_prefix:
                 example["key"] = prev_prefix
-                if valid:
+                if valid and "wav" in example and "spk" in example:
                     yield example
+                elif valid:
+                    logging.warning(
+                        "dropping incomplete shard group %s", prev_prefix
+                    )
                 example = {}
                 valid = True
             with stream.extractfile(tarinfo) as file_obj:
@@ -186,8 +202,12 @@ def tar_file_and_group_single_spk(data: Iterable[dict]) -> Iterator[dict]:
             prev_prefix = prefix
         if prev_prefix is not None:
             example["key"] = prev_prefix
-            if valid:
+            if valid and "wav" in example and "spk" in example:
                 yield example
+            elif valid:
+                logging.warning(
+                    "dropping incomplete shard group %s", prev_prefix
+                )
         stream.close()
         if "process" in sample:
             sample["process"].communicate()
