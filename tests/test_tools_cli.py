@@ -299,3 +299,30 @@ def test_cli_chunked_decode_overlap_add(tmp_path):
     assert long_est.shape == mix.shape and np.isfinite(long_est).all()
     short_est = ex._decode(mix[:3000], cue)  # bucket path
     assert short_est.shape == (3000,) and np.isfinite(short_est).all()
+
+
+def test_op_profile_tool(tmp_path):
+    """Capture a tiny CPU trace and summarize it (tool never crashes on
+    traces without a device plane either)."""
+    import subprocess
+    import sys
+
+    from wesep_tpu.tools.op_profile import load_xspace, op_table
+
+    logdir = str(tmp_path / "trace")
+    with jax.profiler.trace(logdir):
+        jnp.dot(jnp.ones((64, 64)), jnp.ones((64, 64))).block_until_ready()
+    xs = load_xspace(logdir)
+    if xs is None:
+        pytest.skip("xplane proto unavailable")
+    plane, total, rows = op_table(xs)
+    # CPU traces may lack an "XLA Ops" device line; the contract is
+    # graceful handling either way
+    assert total >= 0.0
+    proc = subprocess.run(
+        [sys.executable, "-m", "wesep_tpu.tools.op_profile", logdir],
+        capture_output=True, text=True,
+        env=dict(os.environ, PYTHONPATH=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))),
+    )
+    assert proc.returncode == 0, proc.stderr[-1000:]
