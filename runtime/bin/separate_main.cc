@@ -7,13 +7,17 @@
 #include <sys/stat.h>
 #include <unistd.h>
 
+#include <algorithm>
+#include <atomic>
 #include <cstdio>
 #include <cstring>
 #include <functional>
 #include <iostream>
 #include <map>
 #include <memory>
+#include <mutex>
 #include <string>
+#include <thread>
 #include <vector>
 
 #include "frontend/wav.h"
@@ -32,6 +36,9 @@ struct Flags {
   std::string result_dir = ".";
   int feat_dim = 80;
   int sample_rate = 16000;
+  // scp mode: decode utterances on N parallel engines (TF engine only;
+  // the reference binary is strictly sequential)
+  int num_threads = 1;
 };
 
 bool ParseFlags(int argc, char** argv, Flags* flags) {
@@ -46,6 +53,7 @@ bool ParseFlags(int argc, char** argv, Flags* flags) {
   std::map<std::string, int*> int_flags = {
       {"--feat_dim", &flags->feat_dim},
       {"--sample_rate", &flags->sample_rate},
+      {"--num_threads", &flags->num_threads},
   };
   for (int i = 1; i < argc; ++i) {
     std::string arg = argv[i];
@@ -170,58 +178,10 @@ int main(int argc, char** argv) {
   } else if (FileExists(flags.model_path + "/saved_model/saved_model.pb")) {
     sm_dir = flags.model_path + "/saved_model";
   }
-  std::function<void(const std::vector<float>&, const std::vector<float>&,
-                     const std::vector<float>&,
-                     std::vector<std::vector<float>>*)>
-      forward;
-  int engine_sr = flags.sample_rate;
-  std::unique_ptr<wesep::SeparateEngine> py_engine;
-  TfEngineLib* tf_lib = nullptr;
-  void* tf_handle = nullptr;
-  if (!sm_dir.empty()) {
-    tf_lib = TfEngineLib::Load(argv[0]);
-    if (tf_lib == nullptr) {
-      std::cerr << "model is a TF SavedModel but the TF engine library "
-                << "is unavailable (build with WESEP_WITH_TF=ON)\n";
-      return 1;
-    }
-    char err[1024] = {0};
-    tf_handle = tf_lib->create(sm_dir.c_str(), flags.feat_dim,
-                               flags.sample_rate, err, sizeof(err));
-    if (tf_handle == nullptr) {
-      std::cerr << "TF engine init failed: " << err << "\n";
-      return 1;
-    }
-    engine_sr = tf_lib->sample_rate(tf_handle);
-    forward = [&](const std::vector<float>& m, const std::vector<float>& a,
-                  const std::vector<float>& b,
-                  std::vector<std::vector<float>>* o) {
-      char ferr[1024] = {0};
-      int streams = tf_lib->forward(tf_handle, m.data(), m.size(), a.data(),
-                                    a.size(), b.data(), b.size(), ferr,
-                                    sizeof(ferr));
-      if (streams == 0) {
-        std::cerr << "TF engine forward failed: " << ferr << "\n";
-        std::exit(1);
-      }
-      o->clear();
-      for (int i = 0; i < streams; ++i) {
-        int len = 0;
-        const float* data = tf_lib->output(tf_handle, i, &len);
-        o->emplace_back(data, data + len);
-      }
-    };
-    std::printf("engine: tensorflow (python-free)\n");
-  } else {
-    py_engine = std::make_unique<wesep::SeparateEngine>(
-        flags.model_path, flags.feat_dim, flags.sample_rate);
-    engine_sr = py_engine->sample_rate();
-    forward = [&](const std::vector<float>& m, const std::vector<float>& a,
-                  const std::vector<float>& b,
-                  std::vector<std::vector<float>>* o) {
-      py_engine->ForwardFunc(m, a, b, o);
-    };
-  }
+  using ForwardFn =
+      std::function<void(const std::vector<float>&, const std::vector<float>&,
+                         const std::vector<float>&,
+                         std::vector<std::vector<float>>*)>;
 
   // utterances: key, mix, enroll1, enroll2
   std::vector<std::vector<std::string>> utts;
@@ -234,40 +194,135 @@ int main(int argc, char** argv) {
         {"utt", flags.wav_path, flags.spk1_enroll, flags.spk2_enroll});
   }
 
-  long total_decode_ms = 0;
-  double total_audio_sec = 0.0;
-  for (const auto& utt : utts) {
-    const std::string& key = utt[0];
-    wesep::WavReader mix_reader(utt[1]);
-    wesep::WavReader e1_reader(utt[2]);
-    wesep::WavReader e2_reader(utt[3]);
-    std::vector<float> mix = Mono(mix_reader);
-    std::vector<float> e1 = Mono(e1_reader);
-    std::vector<float> e2 = Mono(e2_reader);
-    double audio_sec =
-        static_cast<double>(mix.size()) / mix_reader.sample_rate();
-
-    wesep::Timer timer;
-    std::vector<std::vector<float>> outputs;
-    forward(mix, e1, e2, &outputs);
-    long ms = timer.Elapsed();
-    total_decode_ms += ms;
-    total_audio_sec += audio_sec;
-    double rtf = (ms / 1000.0) / audio_sec;
-    std::printf("%s: decode %ld ms, audio %.2f s, RTF %.4f\n", key.c_str(),
-                ms, audio_sec, rtf);
-    for (size_t i = 0; i < outputs.size(); ++i) {
-      std::string out_path = flags.result_dir + "/" + key + "-spk" +
-                             std::to_string(i + 1) + ".wav";
-      wesep::WriteWavFile(out_path, outputs[i].data(), outputs[i].size(),
-                          engine_sr);
-    }
+  int num_threads = std::max(1, flags.num_threads);
+  num_threads = std::min(
+      num_threads, static_cast<int>(utts.empty() ? 1 : utts.size()));
+  if (sm_dir.empty() && num_threads > 1) {
+    std::printf(
+        "embedded-python engine is single-threaded; --num_threads "
+        "ignored\n");
+    num_threads = 1;
   }
+
+  int engine_sr = flags.sample_rate;
+  std::unique_ptr<wesep::SeparateEngine> py_engine;
+  TfEngineLib* tf_lib = nullptr;
+  std::vector<void*> tf_handles;
+  // one ForwardFn per worker: each TF worker owns a session handle (the
+  // per-handle output buffer makes a shared handle thread-unsafe)
+  std::vector<ForwardFn> forwards;
+  if (!sm_dir.empty()) {
+    tf_lib = TfEngineLib::Load(argv[0]);
+    if (tf_lib == nullptr) {
+      std::cerr << "model is a TF SavedModel but the TF engine library "
+                << "is unavailable (build with WESEP_WITH_TF=ON)\n";
+      return 1;
+    }
+    for (int t = 0; t < num_threads; ++t) {
+      char err[1024] = {0};
+      void* handle = tf_lib->create(sm_dir.c_str(), flags.feat_dim,
+                                    flags.sample_rate, err, sizeof(err));
+      if (handle == nullptr) {
+        std::cerr << "TF engine init failed: " << err << "\n";
+        return 1;
+      }
+      tf_handles.push_back(handle);
+      forwards.push_back([tf_lib, handle](
+                             const std::vector<float>& m,
+                             const std::vector<float>& a,
+                             const std::vector<float>& b,
+                             std::vector<std::vector<float>>* o) {
+        char ferr[1024] = {0};
+        int streams =
+            tf_lib->forward(handle, m.data(), m.size(), a.data(), a.size(),
+                            b.data(), b.size(), ferr, sizeof(ferr));
+        if (streams == 0) {
+          std::cerr << "TF engine forward failed: " << ferr << "\n";
+          std::exit(1);
+        }
+        o->clear();
+        for (int i = 0; i < streams; ++i) {
+          int len = 0;
+          const float* data = tf_lib->output(handle, i, &len);
+          o->emplace_back(data, data + len);
+        }
+      });
+    }
+    engine_sr = tf_lib->sample_rate(tf_handles[0]);
+    std::printf("engine: tensorflow (python-free), %d worker(s)\n",
+                num_threads);
+  } else {
+    py_engine = std::make_unique<wesep::SeparateEngine>(
+        flags.model_path, flags.feat_dim, flags.sample_rate);
+    engine_sr = py_engine->sample_rate();
+    forwards.push_back([&py_engine](const std::vector<float>& m,
+                                    const std::vector<float>& a,
+                                    const std::vector<float>& b,
+                                    std::vector<std::vector<float>>* o) {
+      py_engine->ForwardFunc(m, a, b, o);
+    });
+  }
+
+  std::atomic<size_t> next_utt{0};
+  std::atomic<long> total_decode_ms{0};
+  std::mutex io_mu;
+  double total_audio_sec = 0.0;
+  wesep::Timer wall;
+
+  auto worker = [&](int tid) {
+    for (;;) {
+      size_t idx = next_utt.fetch_add(1);
+      if (idx >= utts.size()) break;
+      const auto& utt = utts[idx];
+      const std::string& key = utt[0];
+      wesep::WavReader mix_reader(utt[1]);
+      wesep::WavReader e1_reader(utt[2]);
+      wesep::WavReader e2_reader(utt[3]);
+      std::vector<float> mix = Mono(mix_reader);
+      std::vector<float> e1 = Mono(e1_reader);
+      std::vector<float> e2 = Mono(e2_reader);
+      double audio_sec =
+          static_cast<double>(mix.size()) / mix_reader.sample_rate();
+
+      wesep::Timer timer;
+      std::vector<std::vector<float>> outputs;
+      forwards[tid](mix, e1, e2, &outputs);
+      long ms = timer.Elapsed();
+      total_decode_ms += ms;
+      double rtf = (ms / 1000.0) / audio_sec;
+      {
+        std::lock_guard<std::mutex> lock(io_mu);
+        total_audio_sec += audio_sec;
+        std::printf("%s: decode %ld ms, audio %.2f s, RTF %.4f\n",
+                    key.c_str(), ms, audio_sec, rtf);
+      }
+      for (size_t i = 0; i < outputs.size(); ++i) {
+        std::string out_path = flags.result_dir + "/" + key + "-spk" +
+                               std::to_string(i + 1) + ".wav";
+        wesep::WriteWavFile(out_path, outputs[i].data(), outputs[i].size(),
+                            engine_sr);
+      }
+    }
+  };
+
+  if (num_threads == 1) {
+    worker(0);
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < num_threads; ++t) pool.emplace_back(worker, t);
+    for (auto& th : pool) th.join();
+  }
+  long wall_ms = wall.Elapsed();
   if (total_audio_sec > 0) {
     std::printf("TOTAL: decode %ld ms, audio %.2f s, RTF %.4f\n",
-                total_decode_ms, total_audio_sec,
-                (total_decode_ms / 1000.0) / total_audio_sec);
+                total_decode_ms.load(), total_audio_sec,
+                (total_decode_ms.load() / 1000.0) / total_audio_sec);
+    if (num_threads > 1) {
+      std::printf("WALL: %ld ms, throughput RTF %.4f (%d workers)\n",
+                  wall_ms, (wall_ms / 1000.0) / total_audio_sec,
+                  num_threads);
+    }
   }
-  if (tf_handle != nullptr) tf_lib->destroy(tf_handle);
+  for (void* h : tf_handles) tf_lib->destroy(h);
   return 0;
 }

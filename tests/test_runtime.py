@@ -283,3 +283,84 @@ def test_tf_engine_python_free(runtime_build, tmp_path):
         )
         err = np.abs(got - acc[i]).max()
         assert err < 0.05, f"long spk{i+1} windowing mismatch (max {err})"
+
+
+def test_tf_engine_multithreaded_scp(runtime_build, tmp_path):
+    """--num_threads N: parallel TF-engine workers over an scp give
+    bit-identical outputs to the sequential run (per-worker sessions, no
+    shared output buffer)."""
+    pytest.importorskip("tensorflow")
+    from wesep_tpu.bin.export import export_model
+    from wesep_tpu.data.wav_io import read_wav, write_wav
+    from wesep_tpu.models.bsrnn import BSRNN
+    from wesep_tpu.train.checkpoint import save_checkpoint
+
+    margs = dict(
+        spk_emb_dim=32, feature_dim=8, num_repeat=1, joint_training=True,
+        use_spk_transform=False, spk_fuse_type="multiply",
+        multi_fuse=False, spk_model="ResNet18",
+        spk_args={"feat_dim": 80, "embed_dim": 32, "two_emb_layer": False},
+        spk_feat=True, remat=False,
+    )
+    model = BSRNN(**margs)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), jnp.zeros((2, 4000)),
+        jnp.zeros((2, 50, 80)), train=False,
+    )
+    model_dir = str(tmp_path / "mdl")
+    os.makedirs(model_dir)
+    ckpt = os.path.join(model_dir, "avg_model.ckpt")
+    save_checkpoint(ckpt, [variables["params"]],
+                    batch_stats=[variables.get("batch_stats", {})])
+    cfg_path = os.path.join(model_dir, "config.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump({
+            "model": {"tse_model": "BSRNN"},
+            "model_args": {"tse_model": margs},
+            "dataset_args": {"resample_rate": 16000},
+        }, f)
+    export_model(cfg_path, ckpt, str(tmp_path / "export"), batch=2,
+                 samples=8000, enroll_frames=48, fmt="savedmodel")
+
+    sr, t = 16000, 8000
+    rng = np.random.default_rng(5)
+    rows = []
+    for k in range(3):
+        mix = rng.standard_normal(t).astype(np.float32) * 0.2
+        e1 = rng.standard_normal(6000).astype(np.float32) * 0.2
+        e2 = rng.standard_normal(6000).astype(np.float32) * 0.2
+        for name, wav in ((f"m{k}", mix), (f"a{k}", e1), (f"b{k}", e2)):
+            write_wav(str(tmp_path / f"{name}.wav"), wav, sr)
+        rows.append(
+            f"u{k} {tmp_path}/m{k}.wav {tmp_path}/a{k}.wav "
+            f"{tmp_path}/b{k}.wav"
+        )
+    scp = str(tmp_path / "wav.scp")
+    with open(scp, "w") as f:
+        f.write("\n".join(rows) + "\n")
+
+    env = dict(os.environ)
+    env.pop("WESEP_PYTHONPATH", None)
+    outs = {}
+    for nt in (1, 2):
+        out_dir = str(tmp_path / f"out{nt}")
+        os.makedirs(out_dir)
+        r = subprocess.run(
+            [os.path.join(runtime_build, "separate_main"),
+             "--model_path", str(tmp_path / "export"),
+             "--wav_scp", scp, "--result_dir", out_dir,
+             "--num_threads", str(nt)],
+            capture_output=True, text=True, env=env, timeout=500,
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        if nt > 1:
+            assert "2 worker(s)" in r.stdout
+            assert "WALL:" in r.stdout
+        outs[nt] = {
+            f: read_wav(os.path.join(out_dir, f))[0]
+            for f in sorted(os.listdir(out_dir)) if f.endswith(".wav")
+        }
+    assert sorted(outs[1]) == sorted(outs[2])
+    assert len(outs[1]) == 6  # 3 utts x 2 speakers
+    for name in outs[1]:
+        np.testing.assert_array_equal(outs[1][name], outs[2][name])
