@@ -85,6 +85,11 @@ def main():
     )
     parser.add_argument("--utt_sec", type=float, default=10.0)
     parser.add_argument("--n_utts", type=int, default=4)
+    parser.add_argument(
+        "--num_threads", type=int, default=1,
+        help="parallel TF-engine workers (tf engine only); >1 records "
+        "the WALL throughput RTF",
+    )
     args = parser.parse_args()
 
     import numpy as np
@@ -145,13 +150,18 @@ def main():
     r = subprocess.run(
         [os.path.join(build, "separate_main"),
          "--wav_scp", scp, "--model_path", model_dir,
-         "--result_dir", out_dir],
+         "--result_dir", out_dir,
+         "--num_threads", str(args.num_threads)],
         capture_output=True, text=True, env=env, timeout=1800,
     )
     sys.stderr.write(r.stdout[-2000:] + r.stderr[-2000:])
     if r.returncode != 0:
         raise SystemExit("separate_main failed")
-    m = re.search(r"TOTAL:.*RTF ([0-9.]+)", r.stdout + r.stderr)
+    if args.num_threads > 1:
+        m = re.search(r"WALL:.*throughput RTF ([0-9.]+)",
+                      r.stdout + r.stderr)
+    else:
+        m = re.search(r"TOTAL:.*RTF ([0-9.]+)", r.stdout + r.stderr)
     if not m:
         # per-utt lines: average them
         rtfs = re.findall(r"RTF ([0-9.]+)", r.stdout + r.stderr)
@@ -160,6 +170,8 @@ def main():
         rtf = float(m.group(1))
     eng = "tf" if args.engine == "tf" else args.device
     key = f"serving_rtf_{eng}_bsrnn_{int(args.utt_sec)}s"
+    if args.num_threads > 1:
+        key += f"_w{args.num_threads}"
     print(json.dumps({key: rtf}))
     details_path = os.path.join(REPO, "BENCH_DETAILS.json")
     details = {}
