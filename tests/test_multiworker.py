@@ -62,3 +62,53 @@ def test_multiworker_loader(tmp_path):
     for b in batches:
         assert b["wav_mix"].shape == (4, 2000)
         assert b["spk_embeds"].shape == (4, 8)
+
+
+class _SuicidalDataset:
+    """Yields one good sample then SIGKILLs its own worker process —
+    simulates the host OOM killer taking a loader worker down (no
+    sentinel is ever sent)."""
+
+    def __init__(self, die: bool):
+        self.die = die
+
+    def set_epoch(self, epoch):
+        pass
+
+    def __iter__(self):
+        import os
+        import signal
+
+        yield {
+            "key": "k", "spk1": "a", "spk2": "b", "num_speaker": 2,
+            "wav_mix": np.zeros((1, 100), np.float32),
+            "wav_spk1": np.zeros((1, 100), np.float32),
+            "wav_spk2": np.zeros((1, 100), np.float32),
+            "embed_spk1": np.zeros((1, 4), np.float32),
+            "embed_spk2": np.zeros((1, 4), np.float32),
+        }
+        if self.die:
+            os.kill(os.getpid(), signal.SIGKILL)
+        yield {
+            "key": "k2", "spk1": "a", "spk2": "b", "num_speaker": 2,
+            "wav_mix": np.zeros((1, 100), np.float32),
+            "wav_spk1": np.zeros((1, 100), np.float32),
+            "wav_spk2": np.zeros((1, 100), np.float32),
+            "embed_spk1": np.zeros((1, 4), np.float32),
+            "embed_spk2": np.zeros((1, 4), np.float32),
+        }
+
+
+def test_killed_worker_does_not_hang():
+    """A SIGKILL'd worker must not hang the batch loop (its sentinel is
+    lost); the surviving worker's batches still arrive."""
+    from wesep_tpu.data.dataset import MultiWorkerLoader, tse_collate_fn
+
+    loader = MultiWorkerLoader(
+        [_SuicidalDataset(die=True), _SuicidalDataset(die=False)],
+        batch_size=1, collate_fn=tse_collate_fn, drop_last=False,
+    )
+    loader.set_epoch(0)
+    batches = list(loader)  # must terminate
+    # survivor contributes 2 batches; the killed worker 1 (pre-kill)
+    assert 2 <= len(batches) <= 3

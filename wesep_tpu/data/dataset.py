@@ -442,10 +442,30 @@ class MultiWorkerLoader:
         ]
         for p in procs:
             p.start()
+        import logging
+        import queue as queue_mod
+
         finished = 0
+        killed = set()
         try:
             while finished < len(procs):
-                item = queue.get()
+                try:
+                    item = queue.get(timeout=10.0)
+                except queue_mod.Empty:
+                    # a hard-killed worker (OOM killer, SIGKILL) exits on
+                    # a signal and its `finally` sentinel never arrives;
+                    # count it as finished instead of blocking forever
+                    for i, p in enumerate(procs):
+                        if (i not in killed and not p.is_alive()
+                                and p.exitcode is not None
+                                and p.exitcode < 0):
+                            logging.warning(
+                                "data worker %d killed (exit %s); "
+                                "continuing without it", i, p.exitcode,
+                            )
+                            killed.add(i)
+                            finished += 1
+                    continue
                 if item is None:
                     finished += 1
                     continue
