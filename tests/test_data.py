@@ -345,3 +345,27 @@ def test_pipeline_skips_corrupt_shard_members(tmp_path):
     keys = [k for b in loader for k in b["key"]]
     assert len(keys) == 6  # 3 good utts x 2 rows; corrupt one dropped
     assert all(not k.startswith("bad") for k in keys)
+
+
+def test_prefetch_propagates_pipeline_errors():
+    """An exception inside the prefetch thread must surface in the
+    consuming loop, not silently end the epoch."""
+    from wesep_tpu.data import BatchLoader
+
+    class Boom:
+        def set_epoch(self, e):
+            pass
+
+        def __iter__(self):
+            yield {"num_speaker": 2,
+                   "wav_mix": np.zeros((1, 10), np.float32),
+                   "wav_spk1": np.zeros((1, 10), np.float32),
+                   "wav_spk2": np.zeros((1, 10), np.float32),
+                   "embed_spk1": np.zeros((1, 4), np.float32),
+                   "embed_spk2": np.zeros((1, 4), np.float32),
+                   "spk1": "a", "spk2": "b", "key": "k"}
+            raise RuntimeError("pipeline exploded")
+
+    loader = BatchLoader(Boom(), batch_size=1, drop_last=False, prefetch=2)
+    with pytest.raises(RuntimeError, match="pipeline exploded"):
+        list(loader)

@@ -359,11 +359,14 @@ class BatchLoader:
         _END = object()
 
         def producer():
+            # an exception in the pipeline must surface in the consumer,
+            # not die silently with the prefetch thread
             try:
                 for b in self._batches():
                     q.put(b)
-            finally:
                 q.put(_END)
+            except BaseException as e:  # noqa: BLE001
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -371,6 +374,8 @@ class BatchLoader:
             item = q.get()
             if item is _END:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 
