@@ -326,3 +326,38 @@ def test_op_profile_tool(tmp_path):
             os.path.dirname(os.path.abspath(__file__)))),
     )
     assert proc.returncode == 0, proc.stderr[-1000:]
+
+
+def test_validate_synthetic_online_corpus(tmp_path):
+    """--online_mix corpus contract: single-spk shard layout, resolvable
+    raw-wav enrollments, premixed dev/test with wav-path maps."""
+    import argparse
+    import json
+    import tarfile
+
+    from wesep_tpu.tools.validate_synthetic import build_corpus_online
+
+    args = argparse.Namespace(
+        num_spk=4, utts_per_spk=2, seed=0, work_dir=str(tmp_path)
+    )
+    n_train = build_corpus_online(args)
+    assert n_train == 8
+    with tarfile.open(tmp_path / "train.tar") as tar:
+        names = tar.getnames()
+    assert sum(n.endswith(".spk") for n in names) == 8
+    assert sum(n.endswith(".wav") for n in names) == 8
+    with open(tmp_path / "spk2enroll.json") as f:
+        s2e = json.load(f)
+    assert len(s2e) == 4
+    enroll_wav = dict(
+        line.split() for line in open(tmp_path / "enroll_wav.scp")
+    )
+    for s, pairs in s2e.items():
+        for utt, path in pairs:
+            assert os.path.exists(path) and enroll_wav[utt] == path
+    for split in ("dev", "test"):
+        for idx in (1, 2):
+            m = dict(line.split() for line in
+                     open(tmp_path / f"{split}.spk{idx}_enroll"))
+            for eu in m.values():
+                assert eu in enroll_wav  # resolvable at decode time
