@@ -65,7 +65,10 @@ def read_mix2enroll(path: str):
     """Parse a speakerbeam map_mixture2enrollment file for wsj0-2mix.
 
     Lines are `mix_id utt_id enroll_id`; the target slot follows from
-    utt_id's position in the 4-field mix key (fields 0/2 -> s1/s2)."""
+    utt_id's position in the 4-field mix key (fields 0/2 -> s1/s2).
+    enroll_id is either ANOTHER MIXTURE's 4-field key (the speakerbeam
+    convention — enrollment audio is the target speaker's rendition in
+    that mixture's s1/s2 stream) or a bare wsj0 utterance id."""
     out = {}
     with open(path) as f:
         for line in f:
@@ -110,24 +113,52 @@ def prepare_split(mix_dir: str, out_dir: str, rng: random.Random,
 
     if fixed_enroll:
         maps = {1: {}, 2: {}}
+        extra_enroll = {}
         if mix2enroll_file:
             official = read_mix2enroll(mix2enroll_file)
             for utt in utts:
-                for idx in (1, 2):
+                u1, u2 = split_key(utt)
+                for idx, target in ((1, u1), (2, u2)):
                     eu = official.get((utt, idx))
                     if eu is None:
                         raise KeyError(
                             f"{utt} s{idx} missing from {mix2enroll_file}"
                         )
-                    maps[idx][utt] = (eu, None)
-            # the official enrollment ids must resolve against this
-            # split's source pool (enroll_wav.scp is keyed by bare wsj0
-            # utterance ids of the split's s1/s2 renditions) — fail at
-            # prep time, not with a KeyError mid-decode
+                    if len(eu.split("_")) == 4:
+                        # speakerbeam convention: the third column is
+                        # ANOTHER MIXTURE's key; the enrollment audio is
+                        # the target speaker's rendition inside it
+                        # (s1 or s2 stream, chosen by speaker match)
+                        e1, e2 = split_key(eu)
+                        if spk_of(e1) == spk_of(target):
+                            src_utt, stream = e1, s1_dir
+                        elif spk_of(e2) == spk_of(target):
+                            src_utt, stream = e2, s2_dir
+                        else:
+                            raise KeyError(
+                                f"enrollment mixture {eu} has no "
+                                f"rendition of speaker {spk_of(target)} "
+                                f"(target of {utt} s{idx})"
+                            )
+                        path = os.path.join(stream, eu + ".wav")
+                        if not os.path.exists(path):
+                            raise KeyError(
+                                f"enrollment audio missing: {path} "
+                                f"(from {mix2enroll_file})"
+                            )
+                        enroll_id = f"{src_utt}@{eu}"
+                        extra_enroll[enroll_id] = path
+                        maps[idx][utt] = (enroll_id, path)
+                    else:
+                        maps[idx][utt] = (eu, None)
+            # bare enrollment ids must resolve against this split's
+            # source pool (enroll_wav.scp keys) — fail at prep time, not
+            # with a KeyError mid-decode
             avail = {u for pairs in spk2utts.values() for u, _ in pairs}
             unresolved = sorted({
                 eu for idx in (1, 2)
-                for eu, _ in maps[idx].values() if eu not in avail
+                for eu, p in maps[idx].values()
+                if p is None and eu not in avail
             })
             if unresolved:
                 raise KeyError(
@@ -157,6 +188,9 @@ def prepare_split(mix_dir: str, out_dir: str, rng: random.Random,
                     if u not in seen:
                         f.write(f"{u} {p}\n")
                         seen.add(u)
+            # mixture-scoped official enrollments (specific renditions)
+            for u, p in sorted(extra_enroll.items()):
+                f.write(f"{u} {p}\n")
 
 
 def main():

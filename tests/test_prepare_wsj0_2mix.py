@@ -159,3 +159,43 @@ def test_prepare_wsj0_2mix_unresolvable_official_map(tmp_path):
         assert "not source utterances" in e.stderr
     else:
         raise AssertionError("expected prep to fail on unresolvable id")
+
+
+def test_prepare_wsj0_2mix_mixture_scoped_official_map(tmp_path):
+    """Speakerbeam's real convention: the enrollment column is ANOTHER
+    mixture's 4-field key; prep must resolve it to the target speaker's
+    rendition in that mixture's s1/s2 stream and emit a resolvable
+    mixture-scoped enrollment id."""
+    root = str(tmp_path / "wsj0mix")
+    out = str(tmp_path / "data")
+    _build_tree(root)
+
+    # dev has two mixtures sharing speakers 204/205: enroll each target
+    # of mixture 0 from mixture 1 (and vice versa)
+    (m0_u1, m0_snr1, m0_u2, m0_snr2), (m1_u1, m1_snr1, m1_u2, m1_snr2) = \
+        MIXES["cv"]
+    key0 = f"{m0_u1}_{m0_snr1}_{m0_u2}_{m0_snr2}"
+    key1 = f"{m1_u1}_{m1_snr1}_{m1_u2}_{m1_snr2}"
+    lines = [
+        f"{key0} {m0_u1} {key1}",  # 204's rendition inside mixture 1 (s1)
+        f"{key0} {m0_u2} {key1}",  # 205's rendition inside mixture 1 (s2)
+        f"{key1} {m1_u1} {key0}",
+        f"{key1} {m1_u2} {key0}",
+    ]
+    m2e = tmp_path / "map_cv"
+    m2e.write_text("\n".join(lines) + "\n")
+    _run_prep(root, out, extra=["--mix2enroll", f"dev:{m2e}"])
+
+    d = os.path.join(out, "dev")
+    enroll_wav = _read_map(os.path.join(d, "enroll_wav.scp"))
+    for idx, field in ((1, 0), (2, 2)):
+        m = _read_map(os.path.join(d, f"spk{idx}_enroll"))
+        for mix, eid in m.items():
+            # mixture-scoped id "<src_utt>@<enroll_mix>"
+            src, emix = eid.split("@")
+            assert emix != mix and emix in (key0, key1)
+            assert src[:3] == mix.split("_")[field][:3]
+            path = enroll_wav[eid]
+            stream = "s1" if emix.split("_")[0] == src else "s2"
+            assert path.endswith(f"{stream}/{emix}.wav")
+            assert os.path.exists(path)

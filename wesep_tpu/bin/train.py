@@ -407,27 +407,26 @@ def train(config: str, checkpoint=None, overrides=None, **kwargs):
             f"model_axis={model_axis} must divide device count {n_devices}"
         )
     if model_axis > 1 and not getattr(model, "shard_model_axis", False):
-        raise ValueError(
-            f"model_axis={model_axis} requested but model "
-            f"'{model_name}' has no model-axis sharding support — the "
-            "model axis would run fully redundant compute"
-        )
-    data_devices = n_devices // model_axis
-    while micro_rows % data_devices:
-        data_devices -= 1
-    mesh_devices = data_devices * model_axis
-    if mesh_devices != n_devices and rank == 0:
-        logger.warning(
-            "microbatch rows %d (batch rows %d / accum_grad %d) not "
-            "divisible by %d data devices; using %d",
-            micro_rows, n_rows, accum_steps,
-            n_devices // model_axis, data_devices,
-        )
+        if not hasattr(type(model), "shard_model_axis"):
+            raise ValueError(
+                f"model_axis={model_axis} requested but model "
+                f"'{model_name}' has no model-axis sharding support — "
+                "the model axis would run fully redundant compute"
+            )
+        if rank == 0:  # explicitly disabled in the config: allow, warn
+            logger.warning(
+                "model_axis=%d with shard_model_axis=false: the model "
+                "axis runs redundant replicated compute (benchmark "
+                "mode)", model_axis,
+            )
     if model_axis > 1:
+        data_devices = n_devices // model_axis
+        while micro_rows % data_devices:
+            data_devices -= 1
         mesh = Mesh(
-            np.asarray(jax.devices()[:mesh_devices]).reshape(
-                data_devices, model_axis
-            ),
+            np.asarray(
+                jax.devices()[: data_devices * model_axis]
+            ).reshape(data_devices, model_axis),
             ("data", "model"),
         )
         if rank == 0:
@@ -438,6 +437,14 @@ def train(config: str, checkpoint=None, overrides=None, **kwargs):
         from wesep_tpu.train.trainer import fit_data_mesh
 
         mesh = fit_data_mesh(micro_rows)
+        data_devices = mesh.size
+    if data_devices * model_axis != n_devices and rank == 0:
+        logger.warning(
+            "microbatch rows %d (batch rows %d / accum_grad %d) not "
+            "divisible by %d data devices; using %d",
+            micro_rows, n_rows, accum_steps,
+            n_devices // model_axis, data_devices,
+        )
     p_train = make_data_parallel(train_step, mesh, donate_state=True)
     p_eval = jax.jit(eval_step)
 
