@@ -29,10 +29,21 @@ if [ ${stage} -le 1 ] && [ ${stop_stage} -ge 1 ]; then
   if ${use_official_enroll_maps}; then
     for pair in cv:dev tt:test; do
       src=${pair%%:*}; dset=${pair##*:}
-      url="https://raw.githubusercontent.com/BUTSpeechFIT/speakerbeam/main/egs/wsj0_2mix/data/wav8k/min/${src}/map_mixture2enrollment"
       mkdir -p ${data}/${dset}
-      [ -s ${data}/${dset}/mixture2enrollment ] || \
-        wget -O ${data}/${dset}/mixture2enrollment "$url"
+      # the maps are keyed by mixture ids, identical across the
+      # wav8k/wav16k trees; try both egs dir spellings upstream
+      if [ ! -s ${data}/${dset}/mixture2enrollment ]; then
+        for eg in wsj0-2mix wsj0_2mix; do
+          url="https://raw.githubusercontent.com/BUTSpeechFIT/speakerbeam/main/egs/${eg}/data/wav8k/min/${src}/map_mixture2enrollment"
+          wget -q -O ${data}/${dset}/mixture2enrollment "$url" && break \
+            || rm -f ${data}/${dset}/mixture2enrollment
+        done
+      fi
+      [ -s ${data}/${dset}/mixture2enrollment ] || {
+        echo "could not download map_mixture2enrollment; rerun with"
+        echo "--use_official_enroll_maps false for generated maps"
+        exit 1
+      }
       m2e_args="${m2e_args} ${dset}:${data}/${dset}/mixture2enrollment"
     done
   fi
