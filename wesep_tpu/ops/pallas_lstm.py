@@ -46,16 +46,32 @@ def pallas_available() -> bool:
 # latency), so fewer-but-bigger steps mostly conserve total time. Kept
 # because the accurate model also ADMITS large single-tile folds that
 # the old heuristic rejected, and it documents the real VMEM shape.
-_VMEM_BUDGET = 11 * 1024 * 1024  # of ~16MB/core; headroom for Mosaic
+# Hard row caps per (dtype width, kernel): tiles beyond these sizes hit
+# pathological Mosaic compile times (minutes to never) on v5e via the
+# remote compile helper. The caps are the LARGEST sizes proven to
+# compile in the recorded benches (bf16 fwd 752, every bwd <= 376,
+# f32 fwd 376); since tile size is perf-neutral (see the note above),
+# staying inside proven sizes costs nothing.
+_MAX_TILE_ROWS_FWD = {2: 768, 4: 384}
+_MAX_TILE_ROWS_BWD = {2: 384, 4: 384}
+_VMEM_LIMIT = 14 * 1024 * 1024  # tolerated working set at a chosen tile
 
 
-def _divisor_tile(b: int, cap: int) -> int:
-    """Largest multiple-of-8 divisor of b that is <= cap."""
-    tile = max((cap // 8) * 8, 8)
-    tile = min(tile, b)
-    while tile > 1 and b % tile:
+def _fit_tile(b: int, per_row_bytes: int, fixed_bytes: int, s: int,
+              max_rows: int) -> int:
+    """Largest multiple-of-8 divisor of b within the row cap whose
+    modeled working set fits VMEM (divisors of folded batches can be
+    sparse — e.g. 752 = 16 x 47 — so search divisors under the model
+    rather than deriving a byte cap first)."""
+    tile = min(b, (max_rows // 8) * 8)
+    tile = max(tile, 1)
+    while tile > 1:
+        if b % tile == 0 and (
+            fixed_bytes + tile * per_row_bytes <= _VMEM_LIMIT
+        ):
+            return tile
         tile -= 8 if tile > 8 else 1
-    return max(tile, 1)
+    return 1
 
 
 def _pick_b_tile(b: int, h4: int, dtype) -> int:
@@ -65,9 +81,8 @@ def _pick_b_tile(b: int, h4: int, dtype) -> int:
     (dbl, H, f32) 2 + scratch (2xH f32) 2; fixed: wh."""
     s = 2 if dtype == jnp.bfloat16 else 4
     h = h4 // 4
-    fixed = h * h4 * s
-    cap = max(_VMEM_BUDGET - fixed, 0) // int((2.5 * s + 4) * h4)
-    return _divisor_tile(b, cap)
+    return _fit_tile(b, int((2.5 * s + 4) * h4), h * h4 * s, s,
+                     _MAX_TILE_ROWS_FWD[s])
 
 
 def _pick_b_tile_bwd(b: int, h4: int, dtype) -> int:
@@ -77,9 +92,8 @@ def _pick_b_tile_bwd(b: int, h4: int, dtype) -> int:
     cs prev/cur (dbl, H, f32) 4 + scratch 2; fixed: wh + dwh acc/out."""
     s = 2 if dtype == jnp.bfloat16 else 4
     h = h4 // 4
-    fixed = h * h4 * (s + 12)
-    cap = max(_VMEM_BUDGET - fixed, 0) // ((5 * s + 6) * h4)
-    return _divisor_tile(b, cap)
+    return _fit_tile(b, (5 * s + 6) * h4, h * h4 * (s + 12), s,
+                     _MAX_TILE_ROWS_BWD[s])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -353,9 +367,8 @@ def _pick_b_tile_bi_fwd(b: int, h4: int, dtype) -> int:
     fixed: 2x wh."""
     s = 2 if dtype == jnp.bfloat16 else 4
     h = h4 // 4
-    fixed = 2 * h * h4 * s
-    cap = max(_VMEM_BUDGET - fixed, 0) // ((5 * s + 8) * h4)
-    return _divisor_tile(b, cap)
+    return _fit_tile(b, (5 * s + 8) * h4, 2 * h * h4 * s, s,
+                     _MAX_TILE_ROWS_FWD[s])
 
 
 def _pick_b_tile_bi_bwd(b: int, h4: int, dtype) -> int:
@@ -366,9 +379,8 @@ def _pick_b_tile_bi_bwd(b: int, h4: int, dtype) -> int:
     fixed: 2x (wh + dwh acc/out)."""
     s = 2 if dtype == jnp.bfloat16 else 4
     h = h4 // 4
-    fixed = 2 * h * h4 * (s + 12)
-    cap = max(_VMEM_BUDGET - fixed, 0) // ((10 * s + 12) * h4)
-    return _divisor_tile(b, cap)
+    return _fit_tile(b, (10 * s + 12) * h4, 2 * h * h4 * (s + 12), s,
+                     _MAX_TILE_ROWS_BWD[s])
 
 
 def _bi_forward(xw_f, xw_b, wh_f, wh_b):
