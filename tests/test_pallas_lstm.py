@@ -200,3 +200,43 @@ def test_module_bilstm_uses_fused_kernel_numerics():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
     )
+
+
+def test_tile_picker_invariants():
+    """Tiles must divide the folded batch and stay within the
+    compile-proven row caps (f32 fwd 384 regression: tile 752 hung
+    Mosaic; sparse-divisor folds like 752=16x47 must not collapse to
+    tiny tiles)."""
+    import itertools
+
+    from wesep_tpu.ops.pallas_lstm import (
+        _MAX_TILE_ROWS_BWD,
+        _MAX_TILE_ROWS_FWD,
+        _pick_b_tile,
+        _pick_b_tile_bi_bwd,
+        _pick_b_tile_bi_fwd,
+        _pick_b_tile_bwd,
+    )
+
+    shapes = [(64, 512), (256, 1024), (512, 1024), (752, 512),
+              (1520, 768), (6016, 512), (8, 64), (40, 256)]
+    for (b, h4), dt in itertools.product(
+        shapes, (jnp.float32, jnp.bfloat16)
+    ):
+        s = 2 if dt == jnp.bfloat16 else 4
+        for pick, cap in (
+            (_pick_b_tile, _MAX_TILE_ROWS_FWD[s]),
+            (_pick_b_tile_bi_fwd, _MAX_TILE_ROWS_FWD[s]),
+            (_pick_b_tile_bwd, _MAX_TILE_ROWS_BWD[s]),
+            (_pick_b_tile_bi_bwd, _MAX_TILE_ROWS_BWD[s]),
+        ):
+            tile = pick(b, h4, dt)
+            assert b % tile == 0, (pick.__name__, b, h4, dt, tile)
+            assert tile <= cap, (pick.__name__, b, h4, dt, tile)
+            # sparse-divisor folds must not collapse absurdly: the pick
+            # is at least the largest divisor <= 1/8 of the cap
+            floor = max(
+                (d for d in range(1, min(cap // 8, b) + 1) if b % d == 0),
+                default=1,
+            )
+            assert tile >= floor, (pick.__name__, b, h4, dt, tile, floor)
