@@ -16,12 +16,11 @@ first-measurement value below (f32 lax.scan, round-1 day 1).
 """
 
 import json
+import os
+import socket
+import subprocess
+import sys
 import time
-
-import numpy as np
-
-import jax
-import jax.numpy as jnp
 
 # First recorded value on one TPU v5e chip (round 1, f32 + lax.scan
 # recurrence). Later measurements compare against this.
@@ -31,8 +30,121 @@ BATCH = 16
 CHUNK_SEC = 3.0
 SR = 16000
 
+METRIC = "bsrnn_train_audio_sec_per_sec_1chip"
+
+# The TPU backend in this environment compiles through a host-side HTTP
+# relay (PALLAS_AXON_REMOTE_COMPILE=1, 127.0.0.1:8093). When the relay is
+# down, jax.devices() raises (or hangs) and a bare run would record an
+# unparseable traceback as the round's perf evidence — exactly what
+# happened in BENCH_r02.json. Guard: probe, retry with backoff for a
+# bounded window, and on final failure emit ONE machine-readable JSON
+# line with an "error" field.
+RELAY_HOST = os.environ.get("PALLAS_AXON_POOL_IPS", "127.0.0.1").split(",")[0]
+RELAY_PORT = int(os.environ.get("BENCH_RELAY_PORT", "8093"))
+WAIT_WINDOW_SEC = float(os.environ.get("BENCH_RELAY_WAIT_SEC", "900"))
+
+
+def _relay_socket_open(timeout=5.0):
+    """True if the compile relay accepts TCP connections."""
+    try:
+        with socket.create_connection((RELAY_HOST, RELAY_PORT), timeout):
+            return True
+    except OSError:
+        return False
+
+
+def _backend_probe(timeout=180.0):
+    """Initialize the JAX backend + run a trivial jit in a SUBPROCESS.
+
+    A subprocess (under a hard timeout) is the only safe probe: when the
+    relay dies mid-handshake, in-process jax.devices() can hang rather
+    than raise, and no in-process guard can recover from that.
+    Returns (ok, detail).
+    """
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((8, 8));"
+        "v = float(jax.jit(lambda x: (x @ x).sum())(x));"
+        "print('BENCH_PROBE_OK', len(jax.devices()), v)"
+    )
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            env=os.environ,
+        )
+    except subprocess.TimeoutExpired:
+        return False, "backend probe timed out (%.0fs)" % timeout
+    if res.returncode == 0 and "BENCH_PROBE_OK" in res.stdout:
+        return True, ""
+    tail = (res.stderr or res.stdout).strip().splitlines()[-1:]
+    return False, "backend probe rc=%d: %s" % (res.returncode, " ".join(tail))
+
+
+def wait_for_backend(
+    window_sec=WAIT_WINDOW_SEC,
+    socket_probe=_relay_socket_open,
+    backend_probe=_backend_probe,
+    sleep=time.sleep,
+    clock=time.monotonic,
+    remote_compile=None,
+):
+    """Wait (bounded, with backoff) until the TPU backend is usable.
+
+    Returns (ok, detail). Probes are injectable so the guard is testable
+    without a real outage (tests/test_bench_guard.py).
+    """
+    if remote_compile is None:
+        remote_compile = os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1"
+    deadline = clock() + window_sec
+    backoff = 10.0
+    detail = ""
+    while True:
+        if remote_compile and not socket_probe():
+            detail = (
+                "compile relay %s:%d refused connection"
+                % (RELAY_HOST, RELAY_PORT)
+            )
+        else:
+            ok, detail = backend_probe()
+            if ok:
+                return True, ""
+        remaining = deadline - clock()
+        if remaining <= 0:
+            return False, detail
+        sleep(min(backoff, remaining))
+        backoff = min(backoff * 2, 60.0)
+
+
+def emit_failure(error, detail=""):
+    """The machine-readable failure record: same schema, value=None."""
+    print(
+        json.dumps(
+            {
+                "metric": METRIC,
+                "value": None,
+                "unit": "audio_s/s",
+                "vs_baseline": None,
+                "error": error,
+                "detail": detail,
+            }
+        )
+    )
+
 
 def main():
+    ok, detail = wait_for_backend()
+    if not ok:
+        emit_failure("tpu-relay-down", detail)
+        return
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
     from wesep_tpu.utils import setup_compilation_cache
 
     setup_compilation_cache()
@@ -162,4 +274,8 @@ def _mfu(step, state, batch, sec_per_step):
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — the record must stay parseable
+        emit_failure(type(e).__name__, str(e).splitlines()[-1][:500])
+        raise SystemExit(1)
