@@ -177,6 +177,7 @@ def train_gan(config: str, checkpoint=None, overrides=None, **kwargs):
         loss_posi, loss_weight, multi_task,
         gan_loss_weight=configs.get("gan_loss_weight", 0.05),
         metric_fn=metric,
+        seed=configs.get("seed", 42),
     )
     eval_step = jax.jit(make_eval_step(model, criterion))
 

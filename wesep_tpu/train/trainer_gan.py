@@ -101,8 +101,15 @@ def make_gan_train_step(
     multi_task: bool = False,
     gan_loss_weight: float = 0.05,
     metric_fn: Callable = metric_sisdr_norm,
+    seed: int = 42,
 ):
-    """-> step((gen_state, dis_state), batch) -> (states, metrics)."""
+    """-> step((gen_state, dis_state), batch) -> (states, metrics).
+
+    `seed` drives the discriminator's dropout schedule (folded with the
+    step counter), mirroring make_train_step(seed=...) — so two config
+    seeds produce different GAN runs (reference set_seed semantics,
+    utils/utils.py:103-112).
+    """
 
     def _gen_outputs(params, batch_stats, batch, train=True):
         variables = {"params": params}
@@ -146,7 +153,7 @@ def make_gan_train_step(
         gen_state, dis_state = states
         if rng is None:
             rng = jax.random.fold_in(
-                jax.random.PRNGKey(7), dis_state.step
+                jax.random.PRNGKey(seed), dis_state.step
             )
         targets = batch["wav_targets"]
         mix = batch["wav_mix"]
