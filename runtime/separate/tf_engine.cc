@@ -193,51 +193,70 @@ void TfSeparateEngine::ForwardFunc(
 
   // The graph has static XLA shapes [b, t_len]. Short inputs are
   // zero-padded and trimmed back. Long inputs are processed as
-  // overlapping t_len windows with a linear crossfade in the overlap —
-  // the standard overlap-add serving scheme for offline models; the
-  // reference LibTorch engine instead reruns its dynamic graph per
-  // length (separate_engine.cc ForwardFunc), which static-shape XLA
-  // serving cannot do.
-  const size_t overlap =
-      t_len >= 4 ? std::min(t_len / 4, static_cast<size_t>(sample_rate_))
-                 : 0;
-  const size_t hop = t_len - overlap;
-
-  std::vector<std::vector<float>> acc(
-      b, std::vector<float>(std::max(t_in, t_len), 0.0f));
-  std::vector<float> weight(std::max(t_in, t_len), 0.0f);
+  // overlapping t_len windows of FULL-LENGTH real audio — the last
+  // window anchored at t_in - t_len, matching the Python
+  // Extractor._decode "starts + [t - win]" scheme — cross-faded with
+  // strictly positive trapezoid weights and normalized by the weight
+  // sum. The reference LibTorch engine instead reruns its dynamic
+  // graph per length (separate_engine.cc ForwardFunc), which
+  // static-shape XLA serving cannot do.
   std::vector<float> mix_rows(b * t_len);
   std::vector<float> est_rows;
 
-  for (size_t start = 0;; start += hop) {
-    const size_t n = std::min(t_len, t_in > start ? t_in - start : 0);
+  if (t_in <= t_len) {
     std::fill(mix_rows.begin(), mix_rows.end(), 0.0f);
     for (int r = 0; r < b; ++r) {
-      std::memcpy(mix_rows.data() + r * t_len, mix.data() + start,
-                  n * sizeof(float));
+      std::memcpy(mix_rows.data() + r * t_len, mix.data(),
+                  t_in * sizeof(float));
     }
     RunWindow(mix_rows, enroll_rows, &est_rows);
-    for (size_t i = 0; i < n; ++i) {
-      // linear fade-in over the overlap region (first window flat)
-      float w = 1.0f;
-      if (start > 0 && overlap > 0 && i < overlap) {
-        w = static_cast<float>(i + 1) / static_cast<float>(overlap + 1);
-      }
-      for (int r = 0; r < b; ++r) {
-        // complementary fade-out on what was accumulated: rescale the
-        // prior contribution so fades sum to 1
-        acc[r][start + i] =
-            acc[r][start + i] * (weight[start + i] > 0 ? (1.0f - w) : 0.0f) +
-            est_rows[r * t_len + i] * w;
-      }
-      weight[start + i] = 1.0f;
+    outputs->clear();
+    for (int r = 0; r < b; ++r) {
+      outputs->emplace_back(est_rows.begin() + r * t_len,
+                            est_rows.begin() + r * t_len + t_in);
     }
-    if (start + t_len >= t_in) break;
+    (void)NoOpDeallocator;
+    return;
+  }
+
+  const size_t overlap =
+      t_len >= 4 ? std::min(t_len / 4, static_cast<size_t>(sample_rate_))
+                 : 0;
+  const size_t hop = t_len > overlap ? t_len - overlap : 1;
+
+  std::vector<float> window(t_len, 1.0f);
+  for (size_t i = 0; i < overlap; ++i) {
+    const float w = static_cast<float>(i + 1) / static_cast<float>(overlap + 1);
+    window[i] = w;
+    window[t_len - 1 - i] = w;
+  }
+
+  std::vector<std::vector<float>> acc(b, std::vector<float>(t_in, 0.0f));
+  std::vector<float> wsum(t_in, 0.0f);
+  std::vector<size_t> starts;
+  for (size_t s = 0; s + t_len < t_in; s += hop) starts.push_back(s);
+  starts.push_back(t_in - t_len);  // anchored: tail decoded with real context
+
+  for (const size_t start : starts) {
+    for (int r = 0; r < b; ++r) {
+      std::memcpy(mix_rows.data() + r * t_len, mix.data() + start,
+                  t_len * sizeof(float));
+    }
+    RunWindow(mix_rows, enroll_rows, &est_rows);
+    for (size_t i = 0; i < t_len; ++i) {
+      const float w = window[i];
+      for (int r = 0; r < b; ++r) {
+        acc[r][start + i] += est_rows[r * t_len + i] * w;
+      }
+      wsum[start + i] += w;
+    }
   }
 
   outputs->clear();
   for (int r = 0; r < b; ++r) {
-    acc[r].resize(t_in);
+    for (size_t i = 0; i < t_in; ++i) {
+      acc[r][i] /= std::max(wsum[i], 1e-12f);
+    }
     outputs->push_back(std::move(acc[r]));
   }
   (void)NoOpDeallocator;

@@ -246,35 +246,30 @@ def test_tf_engine_python_free(runtime_build, tmp_path):
     assert r.returncode == 0, r.stdout + r.stderr
 
     # python replica of tf_engine.cc's overlap-add (t_len 8000 ->
-    # overlap 2000, hop 6000, linear crossfade)
+    # overlap 2000, hop 6000): full-length windows, last one ANCHORED at
+    # t_long - t_len (cli/extractor.py _decode "starts + [t - win]"),
+    # trapezoid crossfade weights normalized by the weight sum
     t_len, overlap = 8000, 2000
     hop = t_len - overlap
     # int16 roundtrip like the engine saw from the wav file
     mix_q = (np.round(mix_long * 32768.0).clip(-32768, 32767)
              / 32768.0).astype(np.float32)
+    window = np.ones(t_len, np.float32)
+    ramp = np.arange(1, overlap + 1, dtype=np.float32) / (overlap + 1)
+    window[:overlap] = ramp
+    window[t_len - overlap:] = ramp[::-1]
     acc = np.zeros((2, t_long), np.float32)
-    filled = np.zeros(t_long, bool)
-    start = 0
-    while True:
-        n = min(t_len, t_long - start)
-        win = np.zeros(t_len, np.float32)
-        win[:n] = mix_q[start:start + n]
+    wsum = np.zeros(t_long, np.float32)
+    starts = list(range(0, t_long - t_len, hop)) + [t_long - t_len]
+    for start in starts:
         est, _ = model.apply(
-            variables, jnp.stack([jnp.asarray(win)] * 2), enroll,
-            train=False,
+            variables,
+            jnp.stack([jnp.asarray(mix_q[start:start + t_len])] * 2),
+            enroll, train=False,
         )
-        est = np.asarray(est)
-        w = np.ones(n, np.float32)
-        if start > 0:
-            ramp = np.arange(1, overlap + 1, dtype=np.float32) / (overlap + 1)
-            w[:overlap] = ramp
-        prior = np.where(filled[start:start + n], 1.0 - w, 0.0)
-        acc[:, start:start + n] = (acc[:, start:start + n] * prior
-                                   + est[:, :n] * w)
-        filled[start:start + n] = True
-        if start + t_len >= t_long:
-            break
-        start += hop
+        acc[:, start:start + t_len] += np.asarray(est) * window
+        wsum[start:start + t_len] += window
+    acc /= np.maximum(wsum, 1e-12)
     for i in range(2):
         got, got_sr = read_wav(os.path.join(out_dir2, f"utt-spk{i+1}.wav"))
         got = np.asarray(got).reshape(-1)

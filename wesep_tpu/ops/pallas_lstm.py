@@ -52,12 +52,12 @@ def pallas_available() -> bool:
 # compile in the recorded benches (bf16 fwd 752, every bwd <= 376,
 # f32 fwd 376); since tile size is perf-neutral (see the note above),
 # staying inside proven sizes costs nothing.
-_MAX_TILE_ROWS_FWD = {2: 768, 4: 384}
+_MAX_TILE_ROWS_FWD = {2: 752, 4: 384}
 _MAX_TILE_ROWS_BWD = {2: 384, 4: 384}
 _VMEM_LIMIT = 14 * 1024 * 1024  # tolerated working set at a chosen tile
 
 
-def _fit_tile(b: int, per_row_bytes: int, fixed_bytes: int, s: int,
+def _fit_tile(b: int, per_row_bytes: int, fixed_bytes: int,
               max_rows: int) -> int:
     """Largest multiple-of-8 divisor of b within the row cap whose
     modeled working set fits VMEM (divisors of folded batches can be
@@ -81,7 +81,7 @@ def _pick_b_tile(b: int, h4: int, dtype) -> int:
     (dbl, H, f32) 2 + scratch (2xH f32) 2; fixed: wh."""
     s = 2 if dtype == jnp.bfloat16 else 4
     h = h4 // 4
-    return _fit_tile(b, int((2.5 * s + 4) * h4), h * h4 * s, s,
+    return _fit_tile(b, int((2.5 * s + 4) * h4), h * h4 * s,
                      _MAX_TILE_ROWS_FWD[s])
 
 
@@ -92,7 +92,7 @@ def _pick_b_tile_bwd(b: int, h4: int, dtype) -> int:
     cs prev/cur (dbl, H, f32) 4 + scratch 2; fixed: wh + dwh acc/out."""
     s = 2 if dtype == jnp.bfloat16 else 4
     h = h4 // 4
-    return _fit_tile(b, (5 * s + 6) * h4, h * h4 * (s + 12), s,
+    return _fit_tile(b, (5 * s + 6) * h4, h * h4 * (s + 12),
                      _MAX_TILE_ROWS_BWD[s])
 
 
@@ -367,7 +367,7 @@ def _pick_b_tile_bi_fwd(b: int, h4: int, dtype) -> int:
     fixed: 2x wh."""
     s = 2 if dtype == jnp.bfloat16 else 4
     h = h4 // 4
-    return _fit_tile(b, (5 * s + 8) * h4, 2 * h * h4 * s, s,
+    return _fit_tile(b, (5 * s + 8) * h4, 2 * h * h4 * s,
                      _MAX_TILE_ROWS_FWD[s])
 
 
@@ -379,7 +379,7 @@ def _pick_b_tile_bi_bwd(b: int, h4: int, dtype) -> int:
     fixed: 2x (wh + dwh acc/out)."""
     s = 2 if dtype == jnp.bfloat16 else 4
     h = h4 // 4
-    return _fit_tile(b, (10 * s + 12) * h4, 2 * h * h4 * (s + 12), s,
+    return _fit_tile(b, (10 * s + 12) * h4, 2 * h * h4 * (s + 12),
                      _MAX_TILE_ROWS_BWD[s])
 
 

@@ -69,7 +69,7 @@ def cal_PESQ(est: np.ndarray, ref: np.ndarray, fs: int = 16000
     try:
         from wesep_tpu.ops.pesq import pesq_batch
 
-        est = _crude_align(ref, est)
+        est = _crude_align(ref, est, fs=fs)
         n = min(len(ref), len(est))
         score = pesq_batch(ref[None, :n], est[None, :n], fs)[0]
         return float(score) if np.isfinite(score) else None
