@@ -125,6 +125,13 @@ class GlobalLayerNorm(nn.Module):
     """
 
     eps: float = 1e-5
+    # return the per-(batch, channel) affine (a, c) with gLN(x) = a*x + c
+    # instead of the normalized tensor. Since a and c are constant over
+    # time, callers can commute the affine past any per-channel linear
+    # op (depthwise conv, 1x1 conv) — the fused TCN path uses this to
+    # break the global-stats -> conv serialization (BASELINE.md SpEx+
+    # HBM-traffic analysis). Same params, same name sequence.
+    return_affine: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -133,9 +140,20 @@ class GlobalLayerNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,))
         axes = tuple(range(1, x.ndim))
         x32 = x.astype(jnp.float32)
+        # single-pass stats: E[x^2]-E[x]^2 lets XLA fuse both sums into
+        # ONE read of x instead of the two serialized passes of the
+        # centered form — the gLN stats reductions are ~49% of the SpEx+
+        # step (xplane attribution, BASELINE.md). f32 accumulation keeps
+        # the cancellation error ~1e-7 relative at activation scales.
         mean = jnp.mean(x32, axis=axes, keepdims=True)
-        var = jnp.mean(jnp.square(x32 - mean), axis=axes, keepdims=True)
-        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        meansq = jnp.mean(jnp.square(x32), axis=axes, keepdims=True)
+        var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+        scale = jax.lax.rsqrt(var + self.eps)
+        if self.return_affine:
+            a = weight * scale  # [B, 1.., C]
+            caff = bias - mean * weight * scale
+            return a, caff
+        y = (x32 - mean) * scale
         return (weight * y + bias).astype(x.dtype)
 
 
@@ -165,15 +183,24 @@ class BatchNorm1d(nn.Module):
         )(x)
 
 
-def get_norm(kind: str, eps: float = 1e-5):
+def get_norm(kind: str, eps: float = 1e-5, name: str = None):
     """cLN / gLN / BN selector (reference select_norm, norm.py:69-81)."""
     if kind == "cLN":
-        return ChannelLayerNorm(eps=eps)
+        return ChannelLayerNorm(eps=eps, name=name)
     if kind == "gLN":
-        return GlobalLayerNorm(eps=eps)
+        return GlobalLayerNorm(eps=eps, name=name)
     if kind == "BN":
-        return BatchNorm1d(eps=eps)
+        return BatchNorm1d(eps=eps, name=name)
     raise ValueError(f"Unsupported norm: {kind}")
+
+
+def norm_auto_name(kind: str, idx: int) -> str:
+    """The flax auto-assigned name get_norm's module historically got at
+    position `idx` — for call sites that must create norm modules on
+    divergent code paths without shifting the checkpoint param tree."""
+    cls = {"cLN": "ChannelLayerNorm", "gLN": "GlobalLayerNorm",
+           "BN": "BatchNorm1d"}[kind]
+    return f"{cls}_{idx}"
 
 
 class PReLU(nn.Module):

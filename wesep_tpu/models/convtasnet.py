@@ -28,11 +28,75 @@ from wesep_tpu.models.common import (
     ChannelLayerNorm,
     Conv1d,
     Dense,
+    GlobalLayerNorm,
     PReLU,
     SpeakerFuse,
     SpeakerTransform,
     get_norm,
+    norm_auto_name,
 )
+
+
+def _gln_dconv_commuted(p, dconv, gln):
+    """dconv(gLN(p)) computed as an affine of dconv(p).
+
+    gLN's affine is constant over time per (batch, channel) and a
+    depthwise conv is per-channel linear, so
+        dconv(a*p + c) = a*dconv_nobias(p) + c*sum_k(w) + b_d,
+    with one boundary correction: the plain path zero-pads the
+    NORMALIZED signal, so taps that fall into the padding contribute 0
+    there but would contribute c*w_k here — subtract c*w_k for every
+    out-of-range tap (an iota-mask elementwise term XLA fuses away).
+    This removes the serialization between the global-stats reduction
+    and the conv: XLA computes dconv(p) and the stats of p in the SAME
+    HBM pass over p and fuses the affine into the consumer, cutting the
+    TCN block's array round-trips (the SpEx+ step is HBM-bound on
+    exactly these [B, T', H] passes — BASELINE.md SpEx+ note).
+    Numerically identical up to fp reassociation.
+    """
+    a, caff = gln(p)  # [B, 1, C] f32 each
+    z = dconv(p)  # includes the conv bias
+    kern = dconv.get_variable("params", "kernel")  # [k, 1, C]
+    bd = dconv.get_variable("params", "bias").astype(jnp.float32)  # [C]
+    k32 = kern.astype(jnp.float32)
+    # per-output-position sum of IN-range tap weights (edges differ:
+    # sw_t[t] == sum_k(w_k) in the interior, smaller near the edges)
+    t_len = p.shape[1]
+    k_size, dil = kern.shape[0], dconv.dilation
+    # flax freezes module attrs, so list padding arrives as a tuple
+    pad_lo = (dconv.padding if isinstance(dconv.padding, int)
+              else dconv.padding[0][0])
+    tpos = jnp.arange(t_len)
+    sw_t = jnp.zeros((t_len, kern.shape[-1]), jnp.float32)
+    for k in range(k_size):
+        tap = tpos + k * dil - pad_lo
+        inr = ((tap >= 0) & (tap < t_len)).astype(jnp.float32)
+        sw_t = sw_t + inr[:, None] * k32[k, 0][None, :]
+    out = a * (z.astype(jnp.float32) - bd) + caff * sw_t + bd
+    return out.astype(p.dtype)
+
+
+def _gln_conv1x1_applied(y, conv, a, caff):
+    """conv1x1(a*y + caff) as conv1x1(a*y) + W^T caff.
+
+    The 1x1 conv mixes channels, so the per-channel gLN affine (a, caff)
+    cannot move past it as an affine — but conv(a*y + c) =
+    conv_nobias(a*y) + W^T c + b is exact (no padding taps at kernel
+    size 1). This skips the separate materialization of the normalized
+    tensor: the matmul reads a*y (one fused elementwise producer) and
+    the constant-over-time correction W^T c is a [B, 1, F] term XLA
+    folds into the output fusion. Companion of _gln_dconv_commuted for
+    the block's second gLN; takes (a, caff) so the skip-connection conv
+    can reuse one affine.
+    """
+    z = conv((a * y.astype(jnp.float32)).astype(y.dtype))  # has bias
+    # W^T caff via two length-1 conv calls (shared params): the 1x1
+    # kernel lives in Conv1d's inner nn.Conv scope, and conv(c) -
+    # conv(0) strips the bias exactly. [B, 1, C] x [C, F] — negligible.
+    cb = caff.astype(y.dtype)
+    corr = conv(cb) - conv(jnp.zeros_like(cb))
+    return (z.astype(jnp.float32) + corr.astype(jnp.float32)).astype(
+        y.dtype)
 
 __all__ = ["ConvTasNet"]
 
@@ -73,6 +137,9 @@ class TCNBlock(nn.Module):
     norm: str = "gLN"
     causal: bool = False
     skip_con: bool = False
+    # commute gLN past the depthwise conv (see _gln_dconv_commuted);
+    # gLN only — cLN stats vary over time and do not commute
+    fuse_gln: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -82,30 +149,43 @@ class TCNBlock(nn.Module):
             if not self.causal
             else self.dilation * (self.kernel_size - 1)
         )
-        c = Conv1d(self.conv_channels, 1)(x)
-        c = PReLU()(c)
-        c = get_norm(self.norm)(c)
-        if self.causal:
-            c = Conv1d(
-                self.conv_channels,
-                self.kernel_size,
-                dilation=self.dilation,
-                groups=self.conv_channels,
-                padding=[(pad, 0)],
-            )(c)
+        # all submodules carry their historical auto-names explicitly:
+        # the fused/plain paths create different module sequences but
+        # must produce the IDENTICAL checkpoint param tree
+        c = Conv1d(self.conv_channels, 1, name="Conv1d_0")(x)
+        c = PReLU(name="PReLU_0")(c)
+        fused = self.fuse_gln and self.norm == "gLN"
+        dconv = Conv1d(
+            self.conv_channels,
+            self.kernel_size,
+            dilation=self.dilation,
+            groups=self.conv_channels,
+            padding=[(pad, 0)] if self.causal else pad,
+            name="Conv1d_1",
+        )
+        if fused:
+            gln = GlobalLayerNorm(return_affine=True,
+                                  name=norm_auto_name("gLN", 0))
+            c = _gln_dconv_commuted(c, dconv, gln)
         else:
-            c = Conv1d(
-                self.conv_channels,
-                self.kernel_size,
-                dilation=self.dilation,
-                groups=self.conv_channels,
-                padding=pad,
-            )(c)
-        c = PReLU()(c)
-        c = get_norm(self.norm)(c)
-        out = Conv1d(in_ch, 1)(c)
+            c = get_norm(self.norm, name=norm_auto_name(self.norm, 0))(c)
+            c = dconv(c)
+        c = PReLU(name="PReLU_1")(c)
+        conv_out = Conv1d(in_ch, 1, name="Conv1d_2")
+        if fused:
+            gln1 = GlobalLayerNorm(return_affine=True,
+                                   name=norm_auto_name("gLN", 1))
+            a1, c1 = gln1(c)
+            out = _gln_conv1x1_applied(c, conv_out, a1, c1)
+            if self.skip_con:
+                skip = _gln_conv1x1_applied(
+                    c, Conv1d(in_ch, 1, name="Conv1d_3"), a1, c1)
+                return skip, x + out
+            return x + out
+        c = get_norm(self.norm, name=norm_auto_name(self.norm, 1))(c)
+        out = conv_out(c)
         if self.skip_con:
-            skip = Conv1d(in_ch, 1)(c)
+            skip = Conv1d(in_ch, 1, name="Conv1d_3")(c)
             return skip, x + out
         return x + out
 
@@ -121,6 +201,7 @@ class FuseTCNBlock(nn.Module):
     dilation: int = 1
     norm: str = "cLN"
     causal: bool = False
+    fuse_gln: bool = False  # see TCNBlock.fuse_gln
 
     @nn.compact
     def __call__(self, x, embed):
@@ -129,22 +210,39 @@ class FuseTCNBlock(nn.Module):
             embed[:, None, :], x.shape[:-1] + (embed.shape[-1],)
         )
         y = jnp.concatenate([x, tile], axis=-1)
-        y = Conv1d(self.conv_channels, 1)(y)
-        y = get_norm(self.norm)(PReLU()(y))
+        y = Conv1d(self.conv_channels, 1, name="Conv1d_0")(y)
+        y = PReLU(name="PReLU_0")(y)
         pad = (
             self.dilation * (self.kernel_size - 1) // 2
             if not self.causal
             else self.dilation * (self.kernel_size - 1)
         )
-        y = Conv1d(
+        dconv = Conv1d(
             self.conv_channels,
             self.kernel_size,
             dilation=self.dilation,
             groups=self.conv_channels,
             padding=[(pad, 0)] if self.causal else pad,
-        )(y)
-        y = get_norm(self.norm)(PReLU()(y))
-        y = Conv1d(in_ch, 1)(y)
+            name="Conv1d_1",
+        )
+        fused = self.fuse_gln and self.norm == "gLN"
+        if fused:
+            gln = GlobalLayerNorm(return_affine=True,
+                                  name=norm_auto_name("gLN", 0))
+            y = _gln_dconv_commuted(y, dconv, gln)
+        else:
+            y = get_norm(self.norm, name=norm_auto_name(self.norm, 0))(y)
+            y = dconv(y)
+        y = PReLU(name="PReLU_1")(y)
+        conv_out = Conv1d(in_ch, 1, name="Conv1d_2")
+        if fused:
+            gln1 = GlobalLayerNorm(return_affine=True,
+                                   name=norm_auto_name("gLN", 1))
+            a1, c1 = gln1(y)
+            y = _gln_conv1x1_applied(y, conv_out, a1, c1)
+        else:
+            y = conv_out(
+                get_norm(self.norm, name=norm_auto_name(self.norm, 1))(y))
         return x + y
 
 
@@ -164,6 +262,7 @@ class TCNStack(nn.Module):
     # bound (BASELINE.md SpEx+ analysis), so recomputing can beat
     # saving/reloading the [B, T', H] intermediates
     remat: bool = False
+    fuse_gln: bool = False  # see TCNBlock.fuse_gln
 
     @nn.compact
     def __call__(self, x):
@@ -178,6 +277,7 @@ class TCNStack(nn.Module):
                     norm=self.norm,
                     causal=self.causal,
                     skip_con=self.skip_con,
+                    fuse_gln=self.fuse_gln,
                 )
                 if self.skip_con:
                     skip, x = blk(x)
@@ -318,6 +418,12 @@ class ConvTasNet(nn.Module):
     spk_feat: bool = False
     feat_type: str = "consistent"
     remat: bool = False  # rematerialize TCN blocks (see TCNStack.remat)
+    # commute gLN past the depthwise conv in every TCN block — exact up
+    # to fp reassociation, cuts the HBM passes the SpEx+ step is bound
+    # by (see _gln_dconv_commuted); no-op unless norm == 'gLN'.
+    # Default ON: measured 133.6 -> 126.4 ms/step (batch 8 x 3 s, v5e)
+    # with identical param tree, so checkpoints are unaffected.
+    fuse_gln: bool = True
 
     def _activation(self, x):
         if self.activate == "relu":
@@ -388,6 +494,7 @@ class ConvTasNet(nn.Module):
                         kernel_size=self.P,
                         norm=self.norm,
                         causal=self.causal,
+                        fuse_gln=self.fuse_gln,
                         name=f"fuse_{r}",
                     )(x, embed)
                     x = TCNStack(
@@ -400,6 +507,7 @@ class ConvTasNet(nn.Module):
                         skip_con=self.skip_con,
                         start_dilation=1,
                         remat=self.remat,
+                        fuse_gln=self.fuse_gln,
                         name=f"tcn_{r}",
                     )(x)
                 else:
@@ -417,6 +525,7 @@ class ConvTasNet(nn.Module):
                         causal=self.causal,
                         skip_con=self.skip_con,
                         remat=self.remat,
+                        fuse_gln=self.fuse_gln,
                         name=f"tcn_{r}",
                     )(x)
         else:
@@ -426,6 +535,7 @@ class ConvTasNet(nn.Module):
                     kernel_size=self.P,
                     norm=self.norm,
                     causal=self.causal,
+                    fuse_gln=self.fuse_gln,
                     name="fuse_0",
                 )(x, embed)
             else:
@@ -441,6 +551,7 @@ class ConvTasNet(nn.Module):
                 causal=self.causal,
                 skip_con=self.skip_con,
                 remat=self.remat,
+                fuse_gln=self.fuse_gln,
                 name="tcn",
             )(x)
 
