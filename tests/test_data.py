@@ -263,6 +263,59 @@ def test_fram_rir_shape_and_decay():
     assert (early[0, 0] ** 2).sum() <= (rir[0, 0] ** 2).sum() + 1e-9
 
 
+def test_fram_rir_multi_channel():
+    """multi_channel_array / multi_channel_adhoc / sample_mic_arch
+    (reference FRAM_RIR.py:358-558): per-mic RIRs share the room but
+    differ per channel, with direct-path arrival offsets bounded by the
+    array aperture."""
+    from wesep_tpu.data.fram_rir import (
+        multi_channel_adhoc,
+        multi_channel_array,
+        sample_mic_arch,
+    )
+
+    cfg = {
+        "min_max_room": [[3, 3, 2.5], [10, 6, 4]],
+        "rt60": [0.1, 0.7],
+        "sr": 16000,
+        "mic_dist": [0.2, 5.0],
+        "num_src": 2,
+    }
+    rng = np.random.default_rng(0)
+    rir, early = multi_channel_array(dict(cfg), rng=rng)
+    assert rir.shape[0] == 2 and rir.shape[1] == 2  # [n_mic, n_src, L]
+    assert early.shape == rir.shape
+    assert np.isfinite(rir).all()
+    # channels are genuinely distinct RIRs of the same room
+    assert not np.allclose(rir[0], rir[1])
+    # direct-path arrival offset between the 2 mics is bounded by the
+    # 10 cm aperture: |dt| <= 0.1 m / 340 m/s ~ 4.7 samples at 16 kHz
+    for s in range(2):
+        p0 = int(np.argmax(np.abs(early[0, s])))
+        p1 = int(np.argmax(np.abs(early[1, s])))
+        assert abs(p0 - p1) <= 6
+        # per-channel energy decay still holds
+        e = rir[0, s] ** 2
+        n = e.shape[0]
+        assert e[: n // 4].sum() > 10 * e[-n // 10:].sum()
+
+    rir_a, early_a = multi_channel_adhoc(dict(cfg), rng=rng)
+    assert 1 <= rir_a.shape[0] <= 3 and rir_a.shape[1] == 2
+    assert early_a.shape == rir_a.shape
+    assert np.isfinite(rir_a).all()
+
+    # standalone geometry sampler honours count and pairwise spacing
+    arch = sample_mic_arch([2, 4], mic_spacing=[0.02, 0.10],
+                           bounding_box=[0.08, 0.12, 0], rng=rng)
+    k = arch.shape[0]
+    assert 2 <= k <= 4 and arch.shape[1] == 3
+    for i in range(k):
+        for j in range(i + 1, k):
+            d = np.linalg.norm(arch[i] - arch[j])
+            assert 0.02 <= d <= 0.10
+    assert sample_mic_arch([1, 1], rng=rng).shape == (1, 3)
+
+
 def test_resample():
     from wesep_tpu.data.processor import resample
 

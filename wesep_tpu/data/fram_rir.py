@@ -19,8 +19,9 @@ A batched jittable device variant lives in wesep_tpu.data.augment.
 import numpy as np
 from scipy import signal as sp_signal
 
-__all__ = ["FRAM_RIR", "single_channel", "sample_a_config",
-           "sample_src_pos", "sample_mic_array_pos"]
+__all__ = ["FRAM_RIR", "single_channel", "multi_channel_array",
+           "multi_channel_adhoc", "sample_a_config", "sample_src_pos",
+           "sample_mic_arch", "sample_mic_array_pos"]
 
 
 def _highpass_biquad(x: np.ndarray, sr: float, cutoff: float = 80.0,
@@ -181,6 +182,31 @@ def sample_src_pos(room_dim, num_src, array_pos, min_mic_dis=0.5,
     return np.stack(src_pos, 0)
 
 
+def sample_mic_arch(n_mic, mic_spacing=None, bounding_box=None,
+                    rng: np.random.Generator | None = None):
+    """Sample an ad-hoc mic geometry: `k ~ U{n_mic[0]..n_mic[1]}` points
+    inside `bounding_box` with every pairwise distance in `mic_spacing`
+    (rejection sampling). Returns relative coordinates [k, 3] in metres.
+    (reference FRAM_RIR.py:358-387; same defaults.)"""
+    rng = rng or np.random.default_rng()
+    if mic_spacing is None:
+        mic_spacing = [0.02, 0.10]
+    if bounding_box is None:
+        bounding_box = [0.08, 0.12, 0]
+    k = int(rng.integers(n_mic[0], n_mic[1] + 1))
+    if k == 1:
+        return np.array([[0.0, 0.0, 0.0]])
+    pts = []
+    while len(pts) < k:
+        cand = rng.uniform(np.zeros(3), np.array(bounding_box))
+        if all(
+            mic_spacing[0] <= np.linalg.norm(cand - o) <= mic_spacing[1]
+            for o in pts
+        ):
+            pts.append(cand)
+    return np.stack(pts, 0)
+
+
 def sample_mic_array_pos(mic_arch, room_dim, min_dis_wall=None,
                          rng: np.random.Generator | None = None):
     rng = rng or np.random.default_rng()
@@ -250,5 +276,31 @@ def single_channel(simu_config, rng: np.random.Generator | None = None):
     (FRAM_RIR.py:514-522)."""
     cfg = dict(simu_config)
     cfg["mic_arch"] = {"n_mic": [1, 1], "spacing": None, "bounding_box": None}
+    mic_pos, sr, rt60, room_dim, src_pos, _ = sample_a_config(cfg, rng)
+    return FRAM_RIR(mic_pos, sr, rt60, room_dim, src_pos, rng=rng)
+
+
+def multi_channel_array(simu_config, rng: np.random.Generator | None = None):
+    """Fixed 2-mic linear array (10 cm aperture), randomly placed and
+    rotated in the room. -> (rir [2, n_src, L], early [2, n_src, L])
+    (reference FRAM_RIR.py:526-536)."""
+    cfg = dict(simu_config)
+    cfg.pop("array_pos", None)  # geometry is prescribed; placement sampled
+    cfg["mic_arch"] = [[-0.05, 0, 0], [0.05, 0, 0]]
+    mic_pos, sr, rt60, room_dim, src_pos, _ = sample_a_config(cfg, rng)
+    return FRAM_RIR(mic_pos, sr, rt60, room_dim, src_pos, rng=rng)
+
+
+def multi_channel_adhoc(simu_config, rng: np.random.Generator | None = None):
+    """Ad-hoc array: 1-3 mics scattered in a 0.5 x 1.0 m region with
+    2-5 cm pairwise spacing. -> (rir [k, n_src, L], early [k, n_src, L])
+    (reference FRAM_RIR.py:539-552)."""
+    cfg = dict(simu_config)
+    cfg.pop("array_pos", None)
+    cfg["mic_arch"] = {
+        "n_mic": [1, 3],
+        "spacing": [0.02, 0.05],
+        "bounding_box": [0.5, 1.0, 0],
+    }
     mic_pos, sr, rt60, room_dim, src_pos, _ = sample_a_config(cfg, rng)
     return FRAM_RIR(mic_pos, sr, rt60, room_dim, src_pos, rng=rng)
