@@ -194,9 +194,11 @@ def test_gan_step_with_real_pesq():
     ))
     states = (gen_state, dis_state)
     d_losses = []
-    for _ in range(4):
+    for _ in range(6):
         states, metrics = step(states, batch)
         assert np.isfinite(float(metrics["loss"]))
         assert np.isfinite(float(metrics["d_loss"]))
         d_losses.append(float(metrics["d_loss"]))
-    assert d_losses[-1] < d_losses[0]
+    # D learns: compare 2-step averages so a single dropout draw can't
+    # flip the verdict (the per-step d_loss is noisy by design).
+    assert (d_losses[-2] + d_losses[-1]) / 2 < (d_losses[0] + d_losses[1]) / 2
