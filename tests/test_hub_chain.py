@@ -121,3 +121,95 @@ def test_hub_unknown_language():
 
     with pytest.raises(ValueError):
         Hub.get_model("klingon")
+
+
+def test_hub_joint_wespeaker_checkpoint(monkeypatch, tmp_path, capsys):
+    """A released-style JOINT checkpoint (separator + wespeaker-ECAPA
+    under spk_model.*, like the hub's bsrnn_ecapa_vox1) converts
+    losslessly: the speaker branch is ported (not re-initialized) and the
+    extractor auto-selects the wespeaker layout from the checkpoint
+    fingerprint (released config.yamls predate the layout knob)."""
+    _install_reference(monkeypatch)
+    from test_ecapa_ws import _TorchEcapaWS, _randomize_bn_stats
+
+    from wesep.models.bsrnn import BSRNN as RefBSRNN
+
+    from wesep_tpu.cli.extractor import Extractor
+    from wesep_tpu.cli.hub import Hub
+
+    torch.manual_seed(7)
+    gen = torch.Generator().manual_seed(8)
+    ref = RefBSRNN(**{**MODEL_ARGS, "spksInTrain": 4}).eval()
+    twin = _TorchEcapaWS(channels=32, feat_dim=80, embed_dim=16,
+                         global_context_att=True)
+    _randomize_bn_stats(twin, gen)
+    sd = dict(ref.state_dict())
+    sd.update({f"spk_model.{k}": v for k, v in twin.state_dict().items()})
+    buf = io.BytesIO()
+    torch.save({"models": [sd]}, buf)
+
+    config = {
+        "model": {"tse_model": "BSRNN"},
+        "model_args": {"tse_model": {
+            **MODEL_ARGS,
+            "joint_training": True,
+            "spk_model": "ECAPA_TDNN_GLOB_c32",
+            # NOTE: no 'layout' key — released configs don't have it;
+            # the extractor must infer it from the checkpoint
+            "spk_args": {"feat_dim": 80, "embed_dim": 16,
+                         "pooling_func": "ASTP"},
+            "spk_feat": False,
+            "feat_type": "consistent",
+            "multi_task": False,
+        }},
+        "dataset_args": {"resample_rate": 16000, "speaker_feat": False},
+        "dataloader_args": {"batch_size": 1},
+    }
+    archive = tmp_path / "bsrnn_joint_ws.tar.gz"
+    with tarfile.open(archive, "w:gz") as tar:
+        for name, data in (
+            ("bsrnn_joint_ws/config.yaml", yaml.dump(config).encode()),
+            ("bsrnn_joint_ws/avg_model.pt", buf.getvalue()),
+        ):
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+
+    home = tmp_path / "home"
+    os.makedirs(home)
+    monkeypatch.setenv("HOME", str(home))
+    monkeypatch.setattr(Hub, "BaseURL", f"file://{tmp_path}/")
+    monkeypatch.setattr(Hub, "Assets", {"english": "bsrnn_joint_ws.tar.gz"})
+
+    model_dir = Hub.get_model("english")
+    ext = Extractor(model_dir)
+    out = capsys.readouterr().out
+    assert "initializing them randomly" not in out  # branch WAS ported
+
+    rng = np.random.default_rng(1)
+    mix = rng.standard_normal((1, 8000)).astype(np.float32) * 0.1
+    enroll = rng.standard_normal((1, 6000)).astype(np.float32) * 0.1
+    est, sr = ext.extract_speech_from_pcm(mix, 16000, enroll, 16000)
+    est = np.asarray(est).reshape(-1)
+    assert est.shape[0] == 8000 and np.isfinite(est).all()
+
+    # the ported branch is bit-faithful: running the flax encoder on the
+    # same fbank features matches the torch twin
+    import jax.numpy as jnp
+
+    from wesep_tpu.models.speaker.ecapa_ws import ECAPA_TDNN_WS
+
+    twin.eval()
+    feats = torch.randn(2, 33, 80, generator=gen)
+    with torch.no_grad():
+        want = twin(feats).numpy()
+    enc = ECAPA_TDNN_WS(channels=32, embed_dim=16, global_context_att=True)
+    got = enc.apply(
+        {
+            "params": ext.variables["params"]["spk_model_net"],
+            "batch_stats": ext.variables["batch_stats"]["spk_model_net"],
+        },
+        jnp.asarray(feats.numpy()),
+        train=False,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=0)

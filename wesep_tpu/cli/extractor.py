@@ -34,9 +34,21 @@ class Extractor:
             configs = yaml.safe_load(fin)
         model_args = dict(configs["model_args"]["tse_model"])
         model_args.pop("spk_model_init", None)
-        self.model = get_model(configs["model"]["tse_model"])(**model_args)
         bundle = load_checkpoint(model_path)
         loaded = bundle["models"][0]
+        # converted joint reference checkpoints carry a wespeaker-layout
+        # ECAPA branch (fingerprint: per-split Res2 BNs) — the released
+        # config.yaml predates our layout knob, so inject it
+        for scope in ("spk_model_net", "spk_model"):
+            sub = loaded.get(scope)
+            if (
+                isinstance(sub, dict)
+                and "bns_0" in sub.get("layer2", {}).get("res2", {})
+            ):
+                spk_args = dict(model_args.get("spk_args") or {})
+                spk_args["layout"] = "wespeaker"
+                model_args["spk_args"] = spk_args
+        self.model = get_model(configs["model"]["tse_model"])(**model_args)
         self.variables = {"params": loaded}
         if bundle.get("batch_stats") and bundle["batch_stats"][0]:
             self.variables["batch_stats"] = bundle["batch_stats"][0]

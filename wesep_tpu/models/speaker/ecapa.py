@@ -137,12 +137,33 @@ class ECAPA_TDNN(nn.Module):
 
 
 def make_ecapa(name: str):
-    """'ECAPA_TDNN_c512' / 'ECAPA_TDNN_GLOB_c1024' etc. -> constructor."""
+    """'ECAPA_TDNN_c512' / 'ECAPA_TDNN_GLOB_c1024' etc. -> constructor.
+
+    The constructor accepts `layout`: 'tpu' (default, this module's faster
+    native encoder) or 'wespeaker' (bit-exact wespeaker micro-structure for
+    porting jointly-trained reference checkpoints — see ecapa_ws.py).
+    """
     glob = "_GLOB" in name
     channels = int(name.rsplit("c", 1)[-1])
 
     def ctor(embed_dim: int = 192, pooling_func: str = "ASTP",
+             layout: str = "tpu", emb_bn: bool = False,
              name=None, **_ignored):
+        if layout == "wespeaker":
+            from wesep_tpu.models.speaker.ecapa_ws import ECAPA_TDNN_WS
+
+            return ECAPA_TDNN_WS(
+                channels=channels,
+                embed_dim=embed_dim,
+                pooling_func=pooling_func,
+                global_context_att=glob,
+                emb_bn=emb_bn,
+                name=name,
+            )
+        if layout != "tpu":
+            raise ValueError(
+                f"unknown ECAPA layout {layout!r}; use 'tpu' or 'wespeaker'"
+            )
         return ECAPA_TDNN(
             channels=channels,
             embed_dim=embed_dim,

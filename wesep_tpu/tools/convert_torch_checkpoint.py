@@ -7,8 +7,11 @@ families) to a wesep-tpu bundle.
 Reads the reference's .pt bundle/state_dict, maps the separator core onto
 the flax param tree (wesep_tpu.utils.torch_port), and writes a wesep-tpu
 msgpack checkpoint loadable by bin/infer, the CLI extractor, and the
-serving runtime. Joint speaker-encoder weights are skipped unless a
-wespeaker mapping is added (PARITY.md known gaps).
+serving runtime. Jointly-trained wespeaker ECAPA speaker branches are
+detected by state-dict fingerprint and ported too (with BN running stats
+as batch_stats); run the converted model with
+`spk_args: {layout: wespeaker}`. Other joint encoder families
+(ResNet/CAMPPlus) are still skipped with a note (PARITY.md known gaps).
 """
 
 import argparse
@@ -34,6 +37,7 @@ def main():
         port_convtasnet_state_dict,
         port_dpccn_state_dict,
         port_tfgridnet_state_dict,
+        port_wespeaker_ecapa_state_dict,
     )
 
     with open(args.config) as f:
@@ -61,17 +65,42 @@ def main():
         )
     else:
         raise SystemExit(f"no converter for model family {name}")
-    save_checkpoint(args.out, [params])
+
+    batch_stats = None
+    spk_sd = {
+        k.removeprefix("spk_model."): v
+        for k, v in sd.items()
+        if k.startswith("spk_model.")
+    }
+    if spk_sd:
+        # wespeaker ECAPA fingerprint: per-split BNs inside the Res2 stage
+        if "layer2.se_res2block.1.bns.0.weight" in spk_sd:
+            spk_params, spk_stats = port_wespeaker_ecapa_state_dict(spk_sd)
+            # flax scope of the joint branch: BSRNN family uses
+            # 'spk_model_net' (bsrnn.py:250), DPCCN/TFGridNet 'spk_model'
+            scope = "spk_model_net" if name.startswith("BSRNN") else (
+                "spk_model")
+            params[scope] = spk_params
+            batch_stats = {scope: spk_stats}
+            print(
+                "ported joint wespeaker-ECAPA speaker branch; run the "
+                "model with spk_args: {layout: wespeaker}"
+            )
+        else:
+            print(
+                "NOTE: joint speaker-encoder weights present in the source "
+                "but not a wespeaker-ECAPA layout; use spk_feat inference "
+                "with a separately trained encoder or retrain the joint "
+                "branch."
+            )
+    save_checkpoint(
+        args.out, [params],
+        batch_stats=[batch_stats] if batch_stats else None,
+    )
     n = sum(
         v.size for v in _leaves(params)
     )
     print(f"wrote {args.out} ({n / 1e6:.2f} M params)")
-    if any(k.startswith("spk_model.") for k in sd):
-        print(
-            "NOTE: joint speaker-encoder weights present in the source but "
-            "not ported (wespeaker layout); use spk_feat inference with a "
-            "separately trained encoder or retrain the joint branch."
-        )
 
 
 def _leaves(tree):

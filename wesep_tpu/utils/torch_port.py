@@ -10,12 +10,14 @@ Covered: all four flagship separator cores — BSRNN / BSRNN_Multi (band
 norms, bottlenecks, fuse incl. FiLM, BSNets, mask MLPs, speaker
 transform), DPCCN (dense U-Net + TCN + pyramid pooling), TF-GridNet
 (conv embed, GridNet blocks, attention norms, deconv), and
-ConvTasNet/SpEx+ (multi-scale encoder/decoders, fuse+TCN repeats). The
-joint speaker-encoder branch depends on wespeaker's internal layout and
-is ported best-effort when `spk_map` hooks are provided.
+ConvTasNet/SpEx+ (multi-scale encoder/decoders, fuse+TCN repeats), and
+the jointly-trained wespeaker ECAPA speaker branch
+(`port_wespeaker_ecapa_state_dict`, targets models.speaker.ecapa_ws —
+select with `spk_args: {layout: wespeaker}`). Other wespeaker encoder
+families (ResNet/CAMPPlus joints) still go through `spk_map` hooks.
 """
 
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, Optional, Tuple
 
 import numpy as np
 
@@ -24,6 +26,7 @@ __all__ = [
     "port_dpccn_state_dict",
     "port_tfgridnet_state_dict",
     "port_convtasnet_state_dict",
+    "port_wespeaker_ecapa_state_dict",
     "load_torch_state_dict",
 ]
 
@@ -463,3 +466,95 @@ def port_convtasnet_state_dict(
             )
         }
     return p
+
+
+# ---- wespeaker ECAPA joint speaker branch (wespeaker/models/ecapa_tdnn.py,
+# consumed by the reference's joint configs via
+# /root/reference/wesep/models/bsrnn.py:9,217) -------------------------------
+
+def _bn1d_sd(sd, prefix):
+    """torch BatchNorm1d -> (flax params, flax batch_stats)."""
+    return (
+        {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]},
+        {
+            "mean": sd[f"{prefix}.running_mean"],
+            "var": sd[f"{prefix}.running_var"],
+        },
+    )
+
+
+def _linear_sd(sd, prefix):
+    """torch Linear [out, in] -> flax Dense kernel [in, out]."""
+    return {"kernel": sd[f"{prefix}.weight"].T, "bias": sd[f"{prefix}.bias"]}
+
+
+def _conv1x1_as_dense_sd(sd, prefix):
+    """torch Conv1d k=1 [out, in, 1] -> flax Dense kernel [in, out]
+    (channels-last layouts apply 1x1 convs as Dense)."""
+    return {
+        "kernel": sd[f"{prefix}.weight"][:, :, 0].T,
+        "bias": sd[f"{prefix}.bias"],
+    }
+
+
+def _crb_sd(sd, prefix):
+    """wespeaker Conv1dReluBn -> ecapa_ws._ConvReluBn (params, stats)."""
+    bn_p, bn_s = _bn1d_sd(sd, f"{prefix}.bn")
+    return (
+        {"conv": {"Conv_0": _conv1d_sd(sd, f"{prefix}.conv")}, "bn": bn_p},
+        {"bn": bn_s},
+    )
+
+
+def port_wespeaker_ecapa_state_dict(
+    spk_sd: Dict[str, np.ndarray],
+) -> Tuple[dict, dict]:
+    """wespeaker ECAPA_TDNN state_dict (keys relative to the encoder, i.e.
+    with any 'spk_model.' prefix already stripped) -> (params, batch_stats)
+    for models.speaker.ecapa_ws.ECAPA_TDNN_WS.
+
+    Layout mapped 1:1 (see ecapa_ws.py's header for the micro-structure):
+    layer1 Conv1dReluBn; layer2-4 SE_Res2Block as nn.Sequential
+    [.0 conv_in, .1 res2 (convs.{i}/bns.{i}), .2 conv_out, .3 SE]; 'conv'
+    1x1 aggregator; 'pool' ASTP (1x1-conv attention -> Dense); 'bn';
+    'linear'; optional 'bn2' (emb_bn=True checkpoints).
+    """
+    params: dict = {}
+    stats: dict = {}
+    params["layer1"], stats["layer1"] = _crb_sd(spk_sd, "layer1")
+    for k in (2, 3, 4):
+        base = f"layer{k}.se_res2block"
+        blk_p: dict = {}
+        blk_s: dict = {}
+        blk_p["conv_in"], blk_s["conv_in"] = _crb_sd(spk_sd, f"{base}.0")
+        res2_p: dict = {}
+        res2_s: dict = {}
+        i = 0
+        while f"{base}.1.convs.{i}.weight" in spk_sd:
+            res2_p[f"convs_{i}"] = {
+                "Conv_0": _conv1d_sd(spk_sd, f"{base}.1.convs.{i}")
+            }
+            bn_p, bn_s = _bn1d_sd(spk_sd, f"{base}.1.bns.{i}")
+            res2_p[f"bns_{i}"] = bn_p
+            res2_s[f"bns_{i}"] = bn_s
+            i += 1
+        assert i > 0, f"no Res2 convs under {base}.1"
+        blk_p["res2"] = res2_p
+        blk_s["res2"] = res2_s
+        blk_p["conv_out"], blk_s["conv_out"] = _crb_sd(spk_sd, f"{base}.2")
+        blk_p["se"] = {
+            "linear1": _linear_sd(spk_sd, f"{base}.3.linear1"),
+            "linear2": _linear_sd(spk_sd, f"{base}.3.linear2"),
+        }
+        params[f"layer{k}"] = blk_p
+        stats[f"layer{k}"] = blk_s
+    params["conv"] = {"Conv_0": _conv1d_sd(spk_sd, "conv")}
+    params["pool"] = {
+        "linear1": _conv1x1_as_dense_sd(spk_sd, "pool.linear1"),
+        "linear2": _conv1x1_as_dense_sd(spk_sd, "pool.linear2"),
+    }
+    params["bn"], stats["bn"] = _bn1d_sd(spk_sd, "bn")
+    params["linear"] = _linear_sd(spk_sd, "linear")
+    if "bn2.weight" in spk_sd:  # emb_bn=True
+        params["bn2"], stats["bn2"] = _bn1d_sd(spk_sd, "bn2")
+    return params, stats
