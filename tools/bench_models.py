@@ -56,6 +56,25 @@ ENVELOPES = {
     ),
 }
 
+# scan_layers variants: the 6 blocks compile as ONE lax.scan body
+# (~6x smaller HLO), sized to fit batch-4/8 remat-free graphs through the
+# relay's compile helper (VERDICT round-2 #8)
+for _b in (2, 4, 8):
+    ENVELOPES[f"tfgridnet_scan_b{_b}"] = dict(
+        model="TFGridNet",
+        args={**ENVELOPES["tfgridnet"]["args"], "scan_layers": True},
+        batch=_b,
+    )
+    # remat-free b4/b8 exceed single-chip HBM (751-frame per-layer
+    # activation stacks); the remat+scan variants are the large-batch
+    # operating points
+    ENVELOPES[f"tfgridnet_scan_remat_b{_b}"] = dict(
+        model="TFGridNet",
+        args={**ENVELOPES["tfgridnet"]["args"], "scan_layers": True,
+              "remat": True},
+        batch=_b,
+    )
+
 CHUNK_SEC = 3.0
 SR = 16000
 

@@ -230,6 +230,46 @@ class GridNetBlock(nn.Module):
         return out + z
 
 
+class _FuseScanBlock(nn.Module):
+    """One scan iteration: elementwise speaker fuse (precomputed affine)
+    + GridNetBlock. Scanned with per-layer params (nn.scan
+    variable_axes={'params': 0}) so the n_layers identical blocks compile
+    as ONE loop body instead of an unrolled graph."""
+
+    emb_dim: int
+    emb_ks: int
+    emb_hs: int
+    n_freqs: int
+    hidden: int
+    n_head: int
+    approx_qk_dim: int
+    eps: float
+    shard_model_axis: bool
+    fuse: bool
+
+    @nn.compact
+    def __call__(self, carry, _):
+        y, scale, shift = carry
+        if self.fuse:
+            # fuse acts on [B, T, C, Q] (freq-last), like the unrolled path
+            yp = jnp.swapaxes(y, 2, 3)
+            yp = yp * scale + shift
+            y = jnp.swapaxes(yp, 2, 3)
+        y = GridNetBlock(
+            self.emb_dim,
+            self.emb_ks,
+            self.emb_hs,
+            self.n_freqs,
+            self.hidden,
+            self.n_head,
+            self.approx_qk_dim,
+            self.eps,
+            self.shard_model_axis,
+            name="block",
+        )(y)
+        return (y, scale, shift), None
+
+
 class TFGridNet(nn.Module):
     """Reference constructor parity (tfgridnet.py:79-196)."""
 
@@ -264,6 +304,15 @@ class TFGridNet(nn.Module):
     remat: bool = True
     # shard the folded LSTM/attention batch dims over a mesh 'model' axis
     shard_model_axis: bool = False
+    # compile the n_layers identical blocks as ONE lax.scan body instead
+    # of unrolling: ~n_layers-x smaller HLO, so large-batch remat-free
+    # graphs fit through compile-size limits (BASELINE.md TF-GridNet
+    # batch-4/8 notes). Param layout changes to stacked [n_layers, ...]
+    # leaves under 'blocks/block'; convert an unrolled tree with
+    # utils.torch_port.stack_gridnet_blocks. Supported for elementwise
+    # fuse types (multiply/additive/FiLM/None); 'concat' mixes channels
+    # and needs the unrolled path.
+    scan_layers: bool = False
 
     def _spk_embedding(self, enroll, train: bool):
         spk_logits = None
@@ -341,13 +390,37 @@ class TFGridNet(nn.Module):
             )
 
         fuse = SpeakerFuse(n_freqs, self.spk_fuse_type, name="spk_fuse")
-        block_cls = nn.remat(GridNetBlock) if self.remat else GridNetBlock
-        for i in range(self.n_layers):
-            # fuse over the freq dim: [B,T,Q,C] -> [B,T,C,Q] -> fuse -> back
-            yp = jnp.swapaxes(y, 2, 3)
-            yp = fuse(yp, embed)
-            y = jnp.swapaxes(yp, 2, 3)
-            y = block_cls(
+        if self.scan_layers:
+            do_fuse = self.spk_fuse_type != "None"
+            if do_fuse:
+                if self.spk_fuse_type == "concat":
+                    raise NotImplementedError(
+                        "scan_layers supports elementwise fuse types "
+                        "(multiply/additive/FiLM/None); 'concat' mixes "
+                        "channels — use the unrolled path"
+                    )
+                # all elementwise fuse types are affine in x with
+                # embed-only coefficients: shift = fuse(0, e),
+                # scale = fuse(1, e) - shift. Probing with 0/1 inputs
+                # reuses the exact 'spk_fuse' params of the unrolled path.
+                probe = jnp.zeros((b, 1, 1, n_freqs), y.dtype)
+                shift = fuse(probe, embed)
+                scale = fuse(jnp.ones_like(probe), embed) - shift
+            else:
+                scale = jnp.ones((b, 1, 1, n_freqs), y.dtype)
+                shift = jnp.zeros((b, 1, 1, n_freqs), y.dtype)
+            body_cls = (
+                nn.remat(_FuseScanBlock, prevent_cse=False)
+                if self.remat
+                else _FuseScanBlock
+            )
+            scan_cls = nn.scan(
+                body_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=self.n_layers,
+            )
+            (y, _, _), _ = scan_cls(
                 self.emb_dim,
                 self.emb_ks,
                 self.emb_hs,
@@ -357,8 +430,30 @@ class TFGridNet(nn.Module):
                 self.attn_approx_qk_dim,
                 self.eps,
                 self.shard_model_axis,
-                name=f"block_{i}",
-            )(y)
+                do_fuse,
+                name="blocks",
+            )((y, scale, shift), None)
+        else:
+            block_cls = (
+                nn.remat(GridNetBlock) if self.remat else GridNetBlock
+            )
+            for i in range(self.n_layers):
+                # fuse over the freq dim: [B,T,Q,C] -> [B,T,C,Q] -> back
+                yp = jnp.swapaxes(y, 2, 3)
+                yp = fuse(yp, embed)
+                y = jnp.swapaxes(yp, 2, 3)
+                y = block_cls(
+                    self.emb_dim,
+                    self.emb_ks,
+                    self.emb_hs,
+                    n_freqs,
+                    self.lstm_hidden_units,
+                    self.attn_n_head,
+                    self.attn_approx_qk_dim,
+                    self.eps,
+                    self.shard_model_axis,
+                    name=f"block_{i}",
+                )(y)
 
         init_d = torch_linear_init(self.n_srcs * 2 * 3 * 3)
         y = nn.ConvTranspose(

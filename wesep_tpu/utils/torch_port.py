@@ -558,3 +558,24 @@ def port_wespeaker_ecapa_state_dict(
     if "bn2.weight" in spk_sd:  # emb_bn=True
         params["bn2"], stats["bn2"] = _bn1d_sd(spk_sd, "bn2")
     return params, stats
+
+
+def stack_gridnet_blocks(params: dict) -> dict:
+    """Unrolled TFGridNet params (block_0..block_{L-1} subtrees) ->
+    scan_layers=True layout ('blocks/block' with stacked [L, ...] leaves).
+
+    Use after port_tfgridnet_state_dict (or on a trained unrolled tree) to
+    run the checkpoint with the scan-compiled model."""
+    import jax
+
+    n = 0
+    while f"block_{n}" in params:
+        n += 1
+    assert n > 0, "no block_i subtrees to stack"
+    blocks = [params[f"block_{i}"] for i in range(n)]
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *blocks
+    )
+    out = {k: v for k, v in params.items() if not k.startswith("block_")}
+    out["blocks"] = {"block": stacked}
+    return out
