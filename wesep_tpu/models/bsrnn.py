@@ -90,8 +90,11 @@ class GroupedBandNorm(nn.Module):
             "bias", nn.initializers.zeros, (self.n_bands, self.channels)
         )
         x32 = x.astype(jnp.float32)
+        # single-pass stats (E[x^2] - E[x]^2): both reductions fuse into
+        # ONE read of x instead of the centered form's two serial passes
         mean = jnp.mean(x32, axis=(2, 3), keepdims=True)
-        var = jnp.mean(jnp.square(x32 - mean), axis=(2, 3), keepdims=True)
+        m2 = jnp.mean(jnp.square(x32), axis=(2, 3), keepdims=True)
+        var = jnp.maximum(m2 - jnp.square(mean), 0.0)
         y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
         y = y * gamma[None, :, None, :] + beta[None, :, None, :]
         return y.astype(x.dtype)
@@ -136,8 +139,10 @@ class ResRNN(nn.Module):
         gamma = self.param("norm_scale", nn.initializers.ones, (c,))
         beta = self.param("norm_bias", nn.initializers.zeros, (c,))
         x32 = x.astype(jnp.float32)
+        # single-pass stats: see GroupedBandNorm
         mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-        var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+        m2 = jnp.mean(jnp.square(x32), axis=(1, 2), keepdims=True)
+        var = jnp.maximum(m2 - jnp.square(mean), 0.0)
         y = ((x32 - mean) * jax.lax.rsqrt(var + _EPS) * gamma + beta
              ).astype(x.dtype)
         y = LSTM(self.hidden, bidirectional=self.bidirectional, name="rnn")(y)

@@ -41,8 +41,11 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     output precision."""
     axes = tuple(range(1, x.ndim - 1))
     x32 = x.astype(jnp.float32)
+    # single-pass stats (E[x^2] - E[x]^2): the two reductions fuse into
+    # one read of x, halving the stats passes of the ~60 INs per forward
     mean = jnp.mean(x32, axis=axes, keepdims=True)
-    var = jnp.var(x32, axis=axes, keepdims=True)
+    m2 = jnp.mean(jnp.square(x32), axis=axes, keepdims=True)
+    var = jnp.maximum(m2 - jnp.square(mean), 0.0)
     scale = jax.lax.rsqrt(var + eps).astype(x.dtype)
     return (x - mean.astype(x.dtype)) * scale
 

@@ -165,9 +165,11 @@ class GridNetBlock(nn.Module):
                 (self.n_head, out_per_head, self.n_freqs),
             )
             y32 = y.astype(jnp.float32)
+            # single-pass stats (E[x^2]-E[x]^2): one read of y, not two
             mu = jnp.mean(y32, axis=(2, 4), keepdims=True)
+            m2 = jnp.mean(jnp.square(y32), axis=(2, 4), keepdims=True)
             std = jnp.sqrt(
-                jnp.var(y32, axis=(2, 4), keepdims=True) + self.eps
+                jnp.maximum(m2 - jnp.square(mu), 0.0) + self.eps
             )
             y = ((y32 - mu) / std) * gamma[None, :, :, None, :] + beta[
                 None, :, :, None, :
@@ -223,7 +225,8 @@ class GridNetBlock(nn.Module):
         # affine [C, Q] -> broadcast as [1, 1, Q, C]
         o32 = out.astype(jnp.float32)
         mu = jnp.mean(o32, axis=(2, 3), keepdims=True)
-        std = jnp.sqrt(jnp.var(o32, axis=(2, 3), keepdims=True) + self.eps)
+        m2 = jnp.mean(jnp.square(o32), axis=(2, 3), keepdims=True)
+        std = jnp.sqrt(jnp.maximum(m2 - jnp.square(mu), 0.0) + self.eps)
         out = ((o32 - mu) / std) * gamma.T[None, None] + beta.T[None, None]
         out = out.astype(z.dtype)
 
@@ -379,7 +382,8 @@ class TFGridNet(nn.Module):
         )
         y32 = y.astype(jnp.float32)
         mu = jnp.mean(y32, axis=(1, 2, 3), keepdims=True)
-        var = jnp.var(y32, axis=(1, 2, 3), keepdims=True)
+        m2 = jnp.mean(jnp.square(y32), axis=(1, 2, 3), keepdims=True)
+        var = jnp.maximum(m2 - jnp.square(mu), 0.0)
         y = ((y32 - mu) * jax.lax.rsqrt(var + self.eps) * gamma + beta
              ).astype(y.dtype)
 

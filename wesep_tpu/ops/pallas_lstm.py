@@ -24,7 +24,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["lstm_pallas", "lstm_fused", "bilstm_fused", "pallas_available"]
+__all__ = [
+    "lstm_pallas",
+    "lstm_fused",
+    "bilstm_fused",
+    "bilstm_layer",
+    "pallas_available",
+]
 
 
 def pallas_available() -> bool:
@@ -174,6 +180,16 @@ def _fwd(xw, wh, reverse):
 
 
 def _bwd(reverse, res, dys):
+    dxw, dwh, _ = _bwd_impl(reverse, res, dys)
+    return dxw, dwh
+
+
+def _bwd_impl(reverse, res, dys):
+    """Adjoint kernel -> (dxw [T,B,4H], dwh [H,4H], db [4H]).
+
+    The bias gradient sum(dgates) is accumulated INSIDE the kernel (f32,
+    like dwh) so callers that need it (lstm_fused) don't re-read the
+    [T, B, 4H] dxw stream from HBM just to reduce it."""
     xw, wh, ys, cs = res
     t_len, b, h4 = xw.shape
     h = h4 // 4
@@ -182,7 +198,7 @@ def _bwd(reverse, res, dys):
     interpret = not pallas_available()
 
     def kernel(xw_ref, wh_ref, ysp_ref, csp_ref, cs_ref, dys_ref,
-               dxw_ref, dwh_ref, dh_ref, dc_ref, dwh_acc):
+               dxw_ref, dwh_ref, db_ref, dh_ref, dc_ref, dwh_acc, db_acc):
         tr = pl.program_id(1)  # adjoint walk: 0 .. T-1 (reverse of scan)
 
         @pl.when(tr == 0)
@@ -190,6 +206,7 @@ def _bwd(reverse, res, dys):
             dh_ref[:] = jnp.zeros_like(dh_ref)
             dc_ref[:] = jnp.zeros_like(dc_ref)
             dwh_acc[:] = jnp.zeros_like(dwh_acc)
+            db_acc[:] = jnp.zeros_like(db_acc)
 
         # boundary: the scan's first step had zero carry-in
         is_boundary = tr == t_len - 1
@@ -239,10 +256,12 @@ def _bwd(reverse, res, dys):
         dxw_ref[0] = dgates.astype(dxw_ref.dtype)
         dh_ref[:] = dh_prev
         dc_ref[:] = dc_prev
+        db_acc[:] += jnp.sum(dgates, axis=0, keepdims=True)
 
         @pl.when(is_boundary)
         def _():
             dwh_ref[0] = dwh_acc[:]
+            db_ref[0] = db_acc[:]
 
     # The scan visited time t in order `scan_t(k)`; the adjoint walks
     # k = T-1-tr. cur = time index of the current adjoint step; prev =
@@ -258,11 +277,12 @@ def _bwd(reverse, res, dys):
             jnp.maximum(t_len - 2 - tr, 0), bi, 0
         )
 
-    dxw, dwh_tiles = pl.pallas_call(
+    dxw, dwh_tiles, db_tiles = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((t_len, b, h4), xw.dtype),
             jax.ShapeDtypeStruct((nb, h, h4), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, h4), jnp.float32),
         ),
         grid=(nb, t_len),
         in_specs=[
@@ -278,15 +298,22 @@ def _bwd(reverse, res, dys):
             pl.BlockSpec((1, b_tile, h4), cur, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h, h4), lambda bi, tr: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h4), lambda bi, tr: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((b_tile, h), jnp.float32),
             pltpu.VMEM((b_tile, h), jnp.float32),
             pltpu.VMEM((h, h4), jnp.float32),
+            pltpu.VMEM((1, h4), jnp.float32),
         ],
         interpret=interpret,
     )(xw, wh, ys, cs, cs, dys)
-    return dxw, jnp.sum(dwh_tiles, axis=0).astype(wh.dtype)
+    return (
+        dxw,
+        jnp.sum(dwh_tiles, axis=0).astype(wh.dtype),
+        jnp.sum(db_tiles, axis=(0, 1)),
+    )
 
 
 lstm_pallas.defvjp(_fwd, _bwd)
@@ -332,7 +359,9 @@ def _fused_bwd(reverse, res, dys):
     xw = _xw_time_major(x, wx, b)  # recomputed, not saved
     ys_tm = jnp.swapaxes(ys, 0, 1)
     dys_tm = jnp.swapaxes(dys, 0, 1).astype(x.dtype)
-    dxw, dwh = _bwd(reverse, (xw, wh.astype(x.dtype), ys_tm, cs), dys_tm)
+    dxw, dwh, db = _bwd_impl(
+        reverse, (xw, wh.astype(x.dtype), ys_tm, cs), dys_tm
+    )
     dxw_bm = jnp.swapaxes(dxw, 0, 1)  # [B, T, 4H]
     dx = jnp.einsum(
         "bth,dh->btd", dxw_bm, wx.astype(dxw_bm.dtype),
@@ -341,8 +370,7 @@ def _fused_bwd(reverse, res, dys):
     dwx = jnp.einsum(
         "btd,bth->dh", x, dxw_bm, preferred_element_type=jnp.float32
     ).astype(wx.dtype)
-    db = jnp.sum(dxw_bm.astype(jnp.float32), axis=(0, 1)).astype(b.dtype)
-    return dx, dwx, db, dwh.astype(wh.dtype)
+    return dx, dwx, db.astype(b.dtype), dwh.astype(wh.dtype)
 
 
 lstm_fused.defvjp(_fused_fwd, _fused_bwd)
@@ -511,7 +539,9 @@ def _bi_backward(xw_f, xw_b, wh_f, wh_b, ys_f, ys_b, cs_f, cs_b,
                yspf_ref, yspb_ref, cspf_ref, cspb_ref,
                csf_ref, csb_ref, dysf_ref, dysb_ref,
                dxwf_ref, dxwb_ref, dwhf_ref, dwhb_ref,
-               dhf, dcf, dhb, dcb, dwhf_acc, dwhb_acc):
+               dbf_ref, dbb_ref,
+               dhf, dcf, dhb, dcb, dwhf_acc, dwhb_acc,
+               dbf_acc, dbb_acc):
         tr = pl.program_id(1)
 
         @pl.when(tr == 0)
@@ -522,6 +552,8 @@ def _bi_backward(xw_f, xw_b, wh_f, wh_b, ys_f, ys_b, cs_f, cs_b,
             dcb[:] = jnp.zeros_like(dcb)
             dwhf_acc[:] = jnp.zeros_like(dwhf_acc)
             dwhb_acc[:] = jnp.zeros_like(dwhb_acc)
+            dbf_acc[:] = jnp.zeros_like(dbf_acc)
+            dbb_acc[:] = jnp.zeros_like(dbb_acc)
 
         is_boundary = tr == t_len - 1
         hp_f = jnp.where(
@@ -547,15 +579,19 @@ def _bi_backward(xw_f, xw_b, wh_f, wh_b, ys_f, ys_b, cs_f, cs_b,
         dhf[:] = dhp_f
         dcf[:] = dcp_f
         dwhf_acc[:] += dwi_f
+        dbf_acc[:] += jnp.sum(dg_f, axis=0, keepdims=True)
         dxwb_ref[0] = dg_b.astype(dxwb_ref.dtype)
         dhb[:] = dhp_b
         dcb[:] = dcp_b
         dwhb_acc[:] += dwi_b
+        dbb_acc[:] += jnp.sum(dg_b, axis=0, keepdims=True)
 
         @pl.when(is_boundary)
         def _():
             dwhf_ref[0] = dwhf_acc[:]
             dwhb_ref[0] = dwhb_acc[:]
+            dbf_ref[0] = dbf_acc[:]
+            dbb_ref[0] = dbb_acc[:]
 
     # fwd scan order t = 0..T-1 -> adjoint cur = T-1-tr, prev = cur-1;
     # bwd scan order t = T-1..0 -> adjoint cur = tr, prev = tr+1
@@ -565,13 +601,16 @@ def _bi_backward(xw_f, xw_b, wh_f, wh_b, ys_f, ys_b, cs_f, cs_b,
     prev_b = lambda bi, tr: (jnp.minimum(tr + 1, t_len - 1), bi, 0)  # noqa: E731,E501
     wh_ix = lambda bi, tr: (0, 0)  # noqa: E731
 
-    dxw_f, dxw_b, dwhf_tiles, dwhb_tiles = pl.pallas_call(
+    (dxw_f, dxw_b, dwhf_tiles, dwhb_tiles,
+     dbf_tiles, dbb_tiles) = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((t_len, b, h4), xw_f.dtype),
             jax.ShapeDtypeStruct((t_len, b, h4), xw_f.dtype),
             jax.ShapeDtypeStruct((nb, h, h4), jnp.float32),
             jax.ShapeDtypeStruct((nb, h, h4), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, h4), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, h4), jnp.float32),
         ),
         grid=(nb, t_len),
         in_specs=[
@@ -595,6 +634,10 @@ def _bi_backward(xw_f, xw_b, wh_f, wh_b, ys_f, ys_b, cs_f, cs_b,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h, h4), lambda bi, tr: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h4), lambda bi, tr: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h4), lambda bi, tr: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((b_tile, h), jnp.float32),
@@ -603,6 +646,8 @@ def _bi_backward(xw_f, xw_b, wh_f, wh_b, ys_f, ys_b, cs_f, cs_b,
             pltpu.VMEM((b_tile, h), jnp.float32),
             pltpu.VMEM((h, h4), jnp.float32),
             pltpu.VMEM((h, h4), jnp.float32),
+            pltpu.VMEM((1, h4), jnp.float32),
+            pltpu.VMEM((1, h4), jnp.float32),
         ],
         interpret=interpret,
     )(xw_f, xw_b, wh_f, wh_b, ys_f, ys_b, cs_f, cs_b, cs_f, cs_b,
@@ -612,6 +657,8 @@ def _bi_backward(xw_f, xw_b, wh_f, wh_b, ys_f, ys_b, cs_f, cs_b,
         dxw_b,
         jnp.sum(dwhf_tiles, axis=0),
         jnp.sum(dwhb_tiles, axis=0),
+        jnp.sum(dbf_tiles, axis=(0, 1)),
+        jnp.sum(dbb_tiles, axis=(0, 1)),
     )
 
 
@@ -654,7 +701,7 @@ def _bi_fused_bwd(res, dys):
     xw_b = _xw_time_major(x, wx_b, b_b)
     dys_f = jnp.swapaxes(dys[..., :h], 0, 1).astype(x.dtype)
     dys_b = jnp.swapaxes(dys[..., h:], 0, 1).astype(x.dtype)
-    dxw_f, dxw_b, dwh_f, dwh_b = _bi_backward(
+    dxw_f, dxw_b, dwh_f, dwh_b, db_f, db_b = _bi_backward(
         xw_f, xw_b, wh_f.astype(x.dtype), wh_b.astype(x.dtype),
         ys_f, ys_b, cs_f, cs_b, dys_f, dys_b,
     )
@@ -668,11 +715,10 @@ def _bi_fused_bwd(res, dys):
         dwx = jnp.einsum(
             "btd,bth->dh", x, dxw_bm, preferred_element_type=jnp.float32
         ).astype(wx.dtype)
-        db = jnp.sum(dxw_bm.astype(jnp.float32), axis=(0, 1))
-        return dx, dwx, db
+        return dx, dwx
 
-    dx_f, dwx_f, db_f = grads(dxw_f, wx_f)
-    dx_b, dwx_b, db_b = grads(dxw_b, wx_b)
+    dx_f, dwx_f = grads(dxw_f, wx_f)
+    dx_b, dwx_b = grads(dxw_b, wx_b)
     return (
         dx_f + dx_b,
         dwx_f,
@@ -685,3 +731,398 @@ def _bi_fused_bwd(res, dys):
 
 
 bilstm_fused.defvjp(_bi_fused_fwd, _bi_fused_bwd)
+
+
+# ---- fully-fused bidirectional LAYER kernel ---------------------------------
+#
+# bilstm_fused still stages the gate projections through HBM: the forward
+# materializes xw = x @ Wx + b ([T, B, 4H] — 4H/D times the input size),
+# the backward recomputes and re-reads it, and dxw makes the same round
+# trip in reverse before the dx/dWx einsums re-read it again. At BSRNN
+# band shapes that is ~3.8 GB of HBM traffic per layer direction — the
+# dominant cost of the whole train step (xplane round-3 attribution:
+# only 44% of the step is the recurrence itself).
+#
+# The LAYER kernels below never materialize xw/dxw. Each forward grid
+# step computes this timestep's input projection on the MXU right next
+# to the recurrence dot (x_t @ Wx is sequence-independent, so it
+# pipelines into the recurrence's VPU-gate bubble), and the backward
+# step recomputes the gates from (x_t, h_prev) and contracts dgates
+# against Wx/ Wh/ x/ h IN KERNEL, accumulating dWx/dWh/db in VMEM and
+# streaming only dx ([T, B, D] — 4H/D times smaller than dxw). HBM
+# traffic per direction drops to x + ys + cs + dys + dx (~0.7 GB at
+# band shapes, ~5x less).
+
+
+def _pick_b_tile_layer_fwd(b: int, d: int, h4: int, dtype) -> int:
+    """Tile for _bi_layer_forward.
+
+    Per tile row: x in (2 dirs, dbl) 4*D*s + ys out (2 dirs, dbl, H) s +
+    cs out (2 dirs, dbl, H, f32) 4 + state scratch (4xH f32) + gate
+    temporaries (~2x 4H f32); fixed: 2x (wx + wh)."""
+    s = 2 if dtype == jnp.bfloat16 else 4
+    h = h4 // 4
+    per_row = 4 * d * s + 4 * h * s + 16 * h + 16 * h + 8 * h4
+    fixed = 2 * (d + h) * h4 * s
+    return _fit_tile(b, per_row, fixed, _MAX_TILE_ROWS_BWD[s])
+
+
+def _pick_b_tile_layer_bwd(b: int, d: int, h4: int, dtype) -> int:
+    """Tile for _bi_layer_backward.
+
+    Per tile row: x in + dx out (2 dirs, dbl) 8*D*s + ys prev (2 dirs,
+    dbl, H) s + cs prev/cur (2 dirs, 2 streams, dbl, H, f32) +
+    dys (2 dirs, dbl, H) s + adjoint scratch + dgates temporaries;
+    fixed: 2x (wx + wh) + f32 acc/out for dwx/dwh."""
+    s = 2 if dtype == jnp.bfloat16 else 4
+    h = h4 // 4
+    per_row = 8 * d * s + 4 * h * s + 32 * h + 4 * h * s + 16 * h + 8 * h4
+    fixed = 2 * (d + h) * h4 * s + 4 * (d + h) * h4 * 4
+    return _fit_tile(b, per_row, fixed, _MAX_TILE_ROWS_BWD[s])
+
+
+def _bi_layer_forward(x_tm, wx_f, b_f, wh_f, wx_b, b_b, wh_b):
+    """x_tm: [T, B, D]; biases as [1, 4H] -> (ys_f, ys_b, cs_f, cs_b)."""
+    t_len, b, d = x_tm.shape
+    h4 = wh_f.shape[1]
+    h = h4 // 4
+    b_tile = _pick_b_tile_layer_fwd(b, d, h4, x_tm.dtype)
+    nb = b // b_tile
+    interpret = not pallas_available()
+
+    def gates(x_blk, wx_ref, b_ref, h_state, wh_ref):
+        g = (
+            jnp.dot(x_blk, wx_ref[:], preferred_element_type=jnp.float32)
+            + b_ref[0]
+            + jnp.dot(
+                h_state.astype(x_blk.dtype),
+                wh_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+        )
+        i = jax.nn.sigmoid(g[:, :h])
+        f = jax.nn.sigmoid(g[:, h:2 * h])
+        gg = jnp.tanh(g[:, 2 * h:3 * h])
+        o = jax.nn.sigmoid(g[:, 3 * h:])
+        return i, f, gg, o
+
+    def kernel(xf_ref, xb_ref, wxf_ref, bf_ref, whf_ref,
+               wxb_ref, bb_ref, whb_ref,
+               ysf_ref, ysb_ref, csf_ref, csb_ref,
+               hf_ref, cf_ref, hb_ref, cb_ref):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            hf_ref[:] = jnp.zeros_like(hf_ref)
+            cf_ref[:] = jnp.zeros_like(cf_ref)
+            hb_ref[:] = jnp.zeros_like(hb_ref)
+            cb_ref[:] = jnp.zeros_like(cb_ref)
+
+        i_f, f_f, g_f, o_f = gates(xf_ref[0], wxf_ref, bf_ref,
+                                   hf_ref[:], whf_ref)
+        i_b, f_b, g_b, o_b = gates(xb_ref[0], wxb_ref, bb_ref,
+                                   hb_ref[:], whb_ref)
+
+        c_f = f_f * cf_ref[:] + i_f * g_f
+        h_f = o_f * jnp.tanh(c_f)
+        cf_ref[:] = c_f
+        hf_ref[:] = h_f
+        ysf_ref[0] = h_f.astype(ysf_ref.dtype)
+        csf_ref[0] = c_f
+
+        c_b = f_b * cb_ref[:] + i_b * g_b
+        h_b = o_b * jnp.tanh(c_b)
+        cb_ref[:] = c_b
+        hb_ref[:] = h_b
+        ysb_ref[0] = h_b.astype(ysb_ref.dtype)
+        csb_ref[0] = c_b
+
+    fwd_ix = lambda bi, t: (t, bi, 0)  # noqa: E731
+    bwd_ix = lambda bi, t: (t_len - 1 - t, bi, 0)  # noqa: E731
+    w_ix = lambda bi, t: (0, 0)  # noqa: E731
+    ys_f, ys_b, cs_f, cs_b = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((t_len, b, h), x_tm.dtype),
+            jax.ShapeDtypeStruct((t_len, b, h), x_tm.dtype),
+            jax.ShapeDtypeStruct((t_len, b, h), jnp.float32),
+            jax.ShapeDtypeStruct((t_len, b, h), jnp.float32),
+        ),
+        grid=(nb, t_len),
+        in_specs=[
+            pl.BlockSpec((1, b_tile, d), fwd_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, d), bwd_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, h4), w_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h4), w_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h4), w_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, h4), w_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h4), w_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h4), w_ix, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, b_tile, h), fwd_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), bwd_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), fwd_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), bwd_ix, memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b_tile, h), jnp.float32),
+            pltpu.VMEM((b_tile, h), jnp.float32),
+            pltpu.VMEM((b_tile, h), jnp.float32),
+            pltpu.VMEM((b_tile, h), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x_tm, x_tm, wx_f, b_f, wh_f, wx_b, b_b, wh_b)
+    return ys_f, ys_b, cs_f, cs_b
+
+
+def _bi_layer_backward(x_tm, wx_f, b_f, wh_f, wx_b, b_b, wh_b,
+                       ys_f, ys_b, cs_f, cs_b, dys_f, dys_b):
+    t_len, b, d = x_tm.shape
+    h4 = wh_f.shape[1]
+    h = h4 // 4
+    b_tile = _pick_b_tile_layer_bwd(b, d, h4, x_tm.dtype)
+    nb = b // b_tile
+    interpret = not pallas_available()
+
+    def adjoint(x_blk, wx_ref, b_ref, wh_ref, h_prev, c_prev, c_t,
+                dy_blk, dh, dc):
+        """One direction's adjoint step -> (dx, dh_prev, dc_prev,
+        dwx_inc, dwh_inc, db_inc)."""
+        g = (
+            jnp.dot(x_blk, wx_ref[:], preferred_element_type=jnp.float32)
+            + b_ref[0]
+            + jnp.dot(
+                h_prev.astype(x_blk.dtype),
+                wh_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+        )
+        i = jax.nn.sigmoid(g[:, :h])
+        f = jax.nn.sigmoid(g[:, h:2 * h])
+        gg = jnp.tanh(g[:, 2 * h:3 * h])
+        o = jax.nn.sigmoid(g[:, 3 * h:])
+        tanh_c = jnp.tanh(c_t)
+        dh_total = dy_blk.astype(jnp.float32) + dh
+        do = dh_total * tanh_c
+        dct = dh_total * o * (1.0 - tanh_c * tanh_c) + dc
+        dgi = (dct * gg) * i * (1.0 - i)
+        dgf = (dct * c_prev) * f * (1.0 - f)
+        dgc = (dct * i) * (1.0 - gg * gg)
+        dgo = do * o * (1.0 - o)
+        dgates = jnp.concatenate([dgi, dgf, dgc, dgo], axis=-1)
+        dg_lp = dgates.astype(x_blk.dtype)
+        dh_prev = jnp.dot(dg_lp, wh_ref[:].T,
+                          preferred_element_type=jnp.float32)
+        dx = jnp.dot(dg_lp, wx_ref[:].T,
+                     preferred_element_type=jnp.float32)
+        dwx_inc = jnp.dot(x_blk.T, dg_lp,
+                          preferred_element_type=jnp.float32)
+        dwh_inc = jnp.dot(h_prev.astype(x_blk.dtype).T, dg_lp,
+                          preferred_element_type=jnp.float32)
+        db_inc = jnp.sum(dgates, axis=0, keepdims=True)
+        return dx, dh_prev, dct * f, dwx_inc, dwh_inc, db_inc
+
+    def kernel(xf_ref, xb_ref, wxf_ref, bf_ref, whf_ref,
+               wxb_ref, bb_ref, whb_ref,
+               yspf_ref, yspb_ref, cspf_ref, cspb_ref,
+               csf_ref, csb_ref, dysf_ref, dysb_ref,
+               dxf_ref, dxb_ref, dwxf_ref, dwxb_ref,
+               dwhf_ref, dwhb_ref, dbf_ref, dbb_ref,
+               dhf, dcf, dhb, dcb,
+               dwxf_acc, dwxb_acc, dwhf_acc, dwhb_acc,
+               dbf_acc, dbb_acc):
+        tr = pl.program_id(1)
+
+        @pl.when(tr == 0)
+        def _():
+            dhf[:] = jnp.zeros_like(dhf)
+            dcf[:] = jnp.zeros_like(dcf)
+            dhb[:] = jnp.zeros_like(dhb)
+            dcb[:] = jnp.zeros_like(dcb)
+            dwxf_acc[:] = jnp.zeros_like(dwxf_acc)
+            dwxb_acc[:] = jnp.zeros_like(dwxb_acc)
+            dwhf_acc[:] = jnp.zeros_like(dwhf_acc)
+            dwhb_acc[:] = jnp.zeros_like(dwhb_acc)
+            dbf_acc[:] = jnp.zeros_like(dbf_acc)
+            dbb_acc[:] = jnp.zeros_like(dbb_acc)
+
+        is_boundary = tr == t_len - 1
+        hp_f = jnp.where(
+            is_boundary, jnp.zeros_like(yspf_ref[0]), yspf_ref[0]
+        ).astype(jnp.float32)
+        cp_f = jnp.where(is_boundary, jnp.zeros_like(cspf_ref[0]),
+                         cspf_ref[0])
+        hp_b = jnp.where(
+            is_boundary, jnp.zeros_like(yspb_ref[0]), yspb_ref[0]
+        ).astype(jnp.float32)
+        cp_b = jnp.where(is_boundary, jnp.zeros_like(cspb_ref[0]),
+                         cspb_ref[0])
+
+        dx_f, dhp_f, dcp_f, dwxi_f, dwhi_f, dbi_f = adjoint(
+            xf_ref[0], wxf_ref, bf_ref, whf_ref, hp_f, cp_f,
+            csf_ref[0], dysf_ref[0], dhf[:], dcf[:],
+        )
+        dx_b, dhp_b, dcp_b, dwxi_b, dwhi_b, dbi_b = adjoint(
+            xb_ref[0], wxb_ref, bb_ref, whb_ref, hp_b, cp_b,
+            csb_ref[0], dysb_ref[0], dhb[:], dcb[:],
+        )
+        dxf_ref[0] = dx_f.astype(dxf_ref.dtype)
+        dhf[:] = dhp_f
+        dcf[:] = dcp_f
+        dwxf_acc[:] += dwxi_f
+        dwhf_acc[:] += dwhi_f
+        dbf_acc[:] += dbi_f
+        dxb_ref[0] = dx_b.astype(dxb_ref.dtype)
+        dhb[:] = dhp_b
+        dcb[:] = dcp_b
+        dwxb_acc[:] += dwxi_b
+        dwhb_acc[:] += dwhi_b
+        dbb_acc[:] += dbi_b
+
+        @pl.when(is_boundary)
+        def _():
+            dwxf_ref[0] = dwxf_acc[:]
+            dwxb_ref[0] = dwxb_acc[:]
+            dwhf_ref[0] = dwhf_acc[:]
+            dwhb_ref[0] = dwhb_acc[:]
+            dbf_ref[0] = dbf_acc[:]
+            dbb_ref[0] = dbb_acc[:]
+
+    cur_f = lambda bi, tr: (t_len - 1 - tr, bi, 0)  # noqa: E731
+    prev_f = lambda bi, tr: (jnp.maximum(t_len - 2 - tr, 0), bi, 0)  # noqa: E731,E501
+    cur_b = lambda bi, tr: (tr, bi, 0)  # noqa: E731
+    prev_b = lambda bi, tr: (jnp.minimum(tr + 1, t_len - 1), bi, 0)  # noqa: E731,E501
+    w_ix = lambda bi, tr: (0, 0)  # noqa: E731
+    tile_ix = lambda bi, tr: (bi, 0, 0)  # noqa: E731
+
+    (dx_f, dx_b, dwxf_t, dwxb_t, dwhf_t, dwhb_t,
+     dbf_t, dbb_t) = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((t_len, b, d), x_tm.dtype),
+            jax.ShapeDtypeStruct((t_len, b, d), x_tm.dtype),
+            jax.ShapeDtypeStruct((nb, d, h4), jnp.float32),
+            jax.ShapeDtypeStruct((nb, d, h4), jnp.float32),
+            jax.ShapeDtypeStruct((nb, h, h4), jnp.float32),
+            jax.ShapeDtypeStruct((nb, h, h4), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, h4), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, h4), jnp.float32),
+        ),
+        grid=(nb, t_len),
+        in_specs=[
+            pl.BlockSpec((1, b_tile, d), cur_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, d), cur_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, h4), w_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h4), w_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h4), w_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, h4), w_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h4), w_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h4), w_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), prev_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), prev_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), prev_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), prev_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), cur_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), cur_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), cur_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), cur_b, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, b_tile, d), cur_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, d), cur_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, h4), tile_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, h4), tile_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, h4), tile_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, h4), tile_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h4), tile_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h4), tile_ix, memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b_tile, h), jnp.float32),
+            pltpu.VMEM((b_tile, h), jnp.float32),
+            pltpu.VMEM((b_tile, h), jnp.float32),
+            pltpu.VMEM((b_tile, h), jnp.float32),
+            pltpu.VMEM((d, h4), jnp.float32),
+            pltpu.VMEM((d, h4), jnp.float32),
+            pltpu.VMEM((h, h4), jnp.float32),
+            pltpu.VMEM((h, h4), jnp.float32),
+            pltpu.VMEM((1, h4), jnp.float32),
+            pltpu.VMEM((1, h4), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x_tm, x_tm, wx_f, b_f, wh_f, wx_b, b_b, wh_b,
+      ys_f, ys_b, cs_f, cs_b, cs_f, cs_b, dys_f, dys_b)
+    return (
+        dx_f, dx_b,
+        jnp.sum(dwxf_t, axis=0), jnp.sum(dwxb_t, axis=0),
+        jnp.sum(dwhf_t, axis=0), jnp.sum(dwhb_t, axis=0),
+        jnp.sum(dbf_t, axis=(0, 1)), jnp.sum(dbb_t, axis=(0, 1)),
+    )
+
+
+@jax.custom_vjp
+def bilstm_layer(x, wx_f, b_f, wh_f, wx_b, b_b, wh_b):
+    """Fully-fused bidirectional LSTM layer -> [B, T, 2H].
+
+    Both directions' recurrences AND their input projections run inside
+    one Pallas kernel; the backward computes dx/dWx/dWh/db in kernel too.
+    Nothing 4H-wide ever reaches HBM (see the section comment above).
+    Residual policy matches bilstm_fused: saves (x, ys, cs) only.
+    """
+    ys, _ = _bi_layer_fwd_impl(x, wx_f, b_f, wh_f, wx_b, b_b, wh_b)
+    return ys
+
+
+def _bi_layer_fwd_impl(x, wx_f, b_f, wh_f, wx_b, b_b, wh_b):
+    x_tm = jnp.swapaxes(x, 0, 1)
+    cast = lambda w: w.astype(x.dtype)  # noqa: E731
+    ys_f, ys_b, cs_f, cs_b = _bi_layer_forward(
+        x_tm, cast(wx_f), b_f.astype(jnp.float32).reshape(1, -1),
+        cast(wh_f), cast(wx_b), b_b.astype(jnp.float32).reshape(1, -1),
+        cast(wh_b),
+    )
+    ys = jnp.concatenate(
+        [jnp.swapaxes(ys_f, 0, 1), jnp.swapaxes(ys_b, 0, 1)], axis=-1
+    )
+    return ys, (x_tm, ys_f, ys_b, cs_f, cs_b)
+
+
+def _bi_layer_fwd(x, wx_f, b_f, wh_f, wx_b, b_b, wh_b):
+    ys, (x_tm, ys_f, ys_b, cs_f, cs_b) = _bi_layer_fwd_impl(
+        x, wx_f, b_f, wh_f, wx_b, b_b, wh_b
+    )
+    return ys, (x_tm, wx_f, b_f, wh_f, wx_b, b_b, wh_b,
+                ys_f, ys_b, cs_f, cs_b)
+
+
+def _bi_layer_bwd(res, dys):
+    (x_tm, wx_f, b_f, wh_f, wx_b, b_b, wh_b,
+     ys_f, ys_b, cs_f, cs_b) = res
+    h = wh_f.shape[0]
+    dt = x_tm.dtype
+    cast = lambda w: w.astype(dt)  # noqa: E731
+    dys_f = jnp.swapaxes(dys[..., :h], 0, 1).astype(dt)
+    dys_b = jnp.swapaxes(dys[..., h:], 0, 1).astype(dt)
+    (dx_f, dx_b, dwx_f, dwx_b, dwh_f, dwh_b, db_f, db_b) = (
+        _bi_layer_backward(
+            x_tm, cast(wx_f), b_f.astype(jnp.float32).reshape(1, -1),
+            cast(wh_f), cast(wx_b),
+            b_b.astype(jnp.float32).reshape(1, -1), cast(wh_b),
+            ys_f, ys_b, cs_f, cs_b, dys_f, dys_b,
+        )
+    )
+    dx = jnp.swapaxes(dx_f + dx_b, 0, 1)
+    return (
+        dx,
+        dwx_f.astype(wx_f.dtype),
+        db_f.astype(b_f.dtype),
+        dwh_f.astype(wh_f.dtype),
+        dwx_b.astype(wx_b.dtype),
+        db_b.astype(b_b.dtype),
+        dwh_b.astype(wh_b.dtype),
+    )
+
+
+bilstm_layer.defvjp(_bi_layer_fwd, _bi_layer_bwd)

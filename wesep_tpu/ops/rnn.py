@@ -104,12 +104,17 @@ def bilstm(x, wx_f, wh_f, b_f, wx_b, wh_b, b_b):
     hidden = wh_f.shape[0]
     batch = x.shape[0]
     if _use_pallas(batch, hidden):
-        from wesep_tpu.ops.pallas_lstm import bilstm_fused
+        from wesep_tpu.ops.pallas_lstm import bilstm_fused, bilstm_layer
 
         pad = (-batch) % 8
         if pad:
             x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
-        ys = bilstm_fused(x, wx_f, b_f, wh_f, wx_b, b_b, wh_b)
+        if os.environ.get("WESEP_LSTM_LAYER", "1") != "0":
+            # fully-fused layer kernel: gate projections + weight grads
+            # stay in VMEM; nothing 4H-wide touches HBM
+            ys = bilstm_layer(x, wx_f, b_f, wh_f, wx_b, b_b, wh_b)
+        else:
+            ys = bilstm_fused(x, wx_f, b_f, wh_f, wx_b, b_b, wh_b)
         if pad:
             ys = ys[:batch]
         return ys
