@@ -202,6 +202,41 @@ def test_module_bilstm_uses_fused_kernel_numerics():
     )
 
 
+def test_bilstm_layer_forward_parity():
+    """Fully-fused LAYER kernel (input projection in kernel) matches the
+    two-pass scan reference."""
+    from wesep_tpu.ops.pallas_lstm import bilstm_layer
+
+    args = _bi_inputs(seed=5)
+    got = bilstm_layer(*args)
+    want = _ref_bilstm(*args)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_bilstm_layer_gradient_parity():
+    """In-kernel dWx/dWh/db/dx accumulation matches autodiff through the
+    scan reference for all 7 inputs."""
+    from wesep_tpu.ops.pallas_lstm import bilstm_layer
+
+    args = _bi_inputs(seed=6, b=8, t=6, d=64, h=128)
+
+    def loss_layer(*a):
+        return jnp.sum(jnp.tanh(bilstm_layer(*a)))
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.tanh(_ref_bilstm(*a)))
+
+    got = jax.grad(loss_layer, argnums=tuple(range(7)))(*args)
+    want = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    for i, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), atol=2e-4, rtol=1e-3,
+            err_msg=f"grad argnum {i}",
+        )
+
+
 def test_tile_picker_invariants():
     """Tiles must divide the folded batch and stay within the
     compile-proven row caps (f32 fwd 384 regression: tile 752 hung
@@ -240,3 +275,32 @@ def test_tile_picker_invariants():
                 default=1,
             )
             assert tile >= floor, (pick.__name__, b, h4, dt, tile, floor)
+
+
+def test_layer_tile_picker_invariants():
+    """The fused-LAYER pickers (extra input-dim term in the VMEM model)
+    obey the same divisor/cap/floor rules."""
+    import itertools
+
+    from wesep_tpu.ops.pallas_lstm import (
+        _MAX_TILE_ROWS_BWD,
+        _pick_b_tile_layer_bwd,
+        _pick_b_tile_layer_fwd,
+    )
+
+    shapes = [(64, 512), (256, 1024), (512, 1024), (752, 512),
+              (1520, 768), (6016, 512), (8, 64), (40, 256)]
+    for (b, h4), dt, d in itertools.product(
+        shapes, (jnp.float32, jnp.bfloat16), (64, 256)
+    ):
+        s = 2 if dt == jnp.bfloat16 else 4
+        cap = _MAX_TILE_ROWS_BWD[s]
+        for pick in (_pick_b_tile_layer_fwd, _pick_b_tile_layer_bwd):
+            tile = pick(b, d, h4, dt)
+            assert b % tile == 0, (pick.__name__, b, d, h4, dt, tile)
+            assert tile <= cap, (pick.__name__, b, d, h4, dt, tile)
+            floor = max(
+                (k for k in range(1, min(cap // 8, b) + 1) if b % k == 0),
+                default=1,
+            )
+            assert tile >= floor, (pick.__name__, b, d, h4, dt, tile, floor)
