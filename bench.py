@@ -13,6 +13,11 @@ no rematerialization: the memory-lean LSTM residuals fit batch 16 in
 16G HBM). The reference publishes no throughput numbers
 (BASELINE.md), so vs_baseline is the ratio to the pinned
 first-measurement value below (f32 lax.scan, round-1 day 1).
+
+The same run also measures the other three flagship families (SpEx+,
+DPCCN, TF-GridNet) at their reference envelopes via tools/bench_models;
+their throughput + ledger-corrected MFU ride in the "details" field of
+the same single JSON line and in BENCH_DETAILS.json.
 """
 
 import json
@@ -25,10 +30,6 @@ import time
 # First recorded value on one TPU v5e chip (round 1, f32 + lax.scan
 # recurrence). Later measurements compare against this.
 BASELINE_AUDIO_SEC_PER_SEC = 48.0
-
-BATCH = 16
-CHUNK_SEC = 3.0
-SR = 16000
 
 METRIC = "bsrnn_train_audio_sec_per_sec_1chip"
 
@@ -140,89 +141,23 @@ def main():
         emit_failure("tpu-relay-down", detail)
         return
 
-    import numpy as np
-
-    import jax
-    import jax.numpy as jnp
-
     from wesep_tpu.utils import setup_compilation_cache
 
     setup_compilation_cache()
-    from wesep_tpu.models.bsrnn import BSRNN
-    from wesep_tpu.train.losses import si_sdr_loss
-    from wesep_tpu.train.schedulers import exponential_decrease
-    from wesep_tpu.train.trainer import (
-        init_train_state,
-        make_optimizer,
-        make_train_step,
-    )
+    from tools.bench_models import ENVELOPES, bench_one
 
-    model = BSRNN(
-        spk_emb_dim=256,
-        sr=SR,
-        win=512,
-        stride=128,
-        feature_dim=128,
-        num_repeat=6,
-        use_spk_transform=False,
-        spk_fuse_type="multiply",
-        multi_fuse=False,
-        joint_training=False,
-        remat=False,
-    )
-    t = int(CHUNK_SEC * SR)
-    rng = np.random.default_rng(0)
-    batch = {
-        "wav_mix": jnp.asarray(
-            rng.standard_normal((BATCH, t)).astype(np.float32) * 0.1
-        ),
-        "wav_targets": jnp.asarray(
-            rng.standard_normal((BATCH, t)).astype(np.float32) * 0.1
-        ),
-        "spk_embeds": jnp.asarray(
-            rng.standard_normal((BATCH, 256)).astype(np.float32)
-        ),
-        "spk_label": jnp.zeros((BATCH,), jnp.int32),
-    }
+    # All four flagship families at their reference recipe envelopes
+    # (VERDICT r3 #1: one current table, every family captured per round).
+    # BSRNN stays the headline metric; the others ride in "details".
+    results = {}
+    errors = {}
+    for family in ("bsrnn", "spexplus", "dpccn", "tfgridnet"):
+        try:
+            results.update(bench_one(family, ENVELOPES[family]))
+        except Exception as e:  # per-family: one flake must not kill all
+            errors[family] = "%s: %s" % (
+                type(e).__name__, str(e).splitlines()[-1][:200])
 
-    sched = exponential_decrease(
-        num_epochs=150, epoch_iter=1000, initial_lr=1e-3, final_lr=2.5e-5,
-        warm_up_epoch=0,
-    )
-    optimizer = make_optimizer(sched, weight_decay=1e-4, clip_grad=5.0)
-    step = jax.jit(
-        make_train_step(
-            model, optimizer, [si_sdr_loss], compute_dtype=jnp.bfloat16
-        ),
-        donate_argnums=(0,),
-    )
-    state = init_train_state(model, jax.random.PRNGKey(0), batch, optimizer)
-
-    # warmup / compile. NOTE: through the axon relay block_until_ready does
-    # not reliably synchronize — fetching the scalar to host does. Several
-    # warmup steps: the first executions after compile run slow paths.
-    for _ in range(5):
-        state, metrics = step(state, batch)
-        float(metrics["loss"])
-
-    # best of 3 windows: the remote relay occasionally injects one slow
-    # round trip, which a single window would report as a regression
-    n_steps = 10
-    elapsed = float("inf")
-    for _ in range(3):
-        start = time.perf_counter()
-        for _ in range(n_steps):
-            state, metrics = step(state, batch)
-        float(metrics["loss"])  # forces the whole dependency chain
-        elapsed = min(elapsed, time.perf_counter() - start)
-
-    audio_sec_per_sec = BATCH * CHUNK_SEC * n_steps / elapsed
-
-    details = {
-        "bsrnn_train_audio_sec_per_sec_1chip": round(audio_sec_per_sec, 2),
-        "bsrnn_train_ms_per_step": round(elapsed / n_steps * 1e3, 2),
-    }
-    details.update(_mfu(step, state, batch, elapsed / n_steps))
     try:
         # merge: tools/bench_runtime.py contributes serving-RTF entries
         # to the same file; don't wipe them
@@ -232,45 +167,27 @@ def main():
                 merged = json.load(f)
         except (OSError, ValueError):
             pass
-        merged.update(details)
+        merged.update(results)
         with open("BENCH_DETAILS.json", "w") as f:
             json.dump(merged, f, indent=1)
     except OSError:
         pass
 
-    print(
-        json.dumps(
-            {
-                "metric": "bsrnn_train_audio_sec_per_sec_1chip",
-                "value": round(audio_sec_per_sec, 2),
-                "unit": "audio_s/s",
-                "vs_baseline": round(
-                    audio_sec_per_sec / BASELINE_AUDIO_SEC_PER_SEC, 3
-                ),
-            }
-        )
-    )
+    headline = results.get("bsrnn_train_audio_sec_per_sec_1chip")
+    if headline is None:
+        emit_failure("bsrnn-bench-failed", errors.get("bsrnn", ""))
+        raise SystemExit(1)
 
-
-def _mfu(step, state, batch, sec_per_step):
-    """Model-FLOPs-utilization of the compiled train step (XLA's own
-    flop count / measured time / chip peak). v5e peak: 197 TFLOP/s bf16."""
-    try:
-        compiled = step.lower(state, batch).compile()
-        cost = compiled.cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
-        if flops <= 0:
-            return {}
-        peak = 197e12
-        mfu = flops / sec_per_step / peak
-        return {
-            "bsrnn_train_gflops_per_step": round(flops / 1e9, 1),
-            "bsrnn_train_mfu_pct_v5e_bf16": round(mfu * 100, 2),
-        }
-    except Exception:
-        return {}
+    record = {
+        "metric": METRIC,
+        "value": round(headline, 2),
+        "unit": "audio_s/s",
+        "vs_baseline": round(headline / BASELINE_AUDIO_SEC_PER_SEC, 3),
+        "details": results,
+    }
+    if errors:
+        record["family_errors"] = errors
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

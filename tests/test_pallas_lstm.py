@@ -237,6 +237,21 @@ def test_bilstm_layer_gradient_parity():
         )
 
 
+# shared by both tile-picker invariant tests (kept in ONE place so cap/
+# shape tuning can't diverge between them — ADVICE r3)
+TILE_PICKER_SHAPES = [(64, 512), (256, 1024), (512, 1024), (752, 512),
+                      (1520, 768), (6016, 512), (8, 64), (40, 256)]
+
+
+def _tile_floor(b, cap):
+    """Sparse-divisor folds must not collapse absurdly: the pick is at
+    least the largest divisor <= 1/8 of the cap."""
+    return max(
+        (d for d in range(1, min(cap // 8, b) + 1) if b % d == 0),
+        default=1,
+    )
+
+
 def test_tile_picker_invariants():
     """Tiles must divide the folded batch and stay within the
     compile-proven row caps (f32 fwd 384 regression: tile 752 hung
@@ -253,10 +268,8 @@ def test_tile_picker_invariants():
         _pick_b_tile_bwd,
     )
 
-    shapes = [(64, 512), (256, 1024), (512, 1024), (752, 512),
-              (1520, 768), (6016, 512), (8, 64), (40, 256)]
     for (b, h4), dt in itertools.product(
-        shapes, (jnp.float32, jnp.bfloat16)
+        TILE_PICKER_SHAPES, (jnp.float32, jnp.bfloat16)
     ):
         s = 2 if dt == jnp.bfloat16 else 4
         for pick, cap in (
@@ -268,12 +281,7 @@ def test_tile_picker_invariants():
             tile = pick(b, h4, dt)
             assert b % tile == 0, (pick.__name__, b, h4, dt, tile)
             assert tile <= cap, (pick.__name__, b, h4, dt, tile)
-            # sparse-divisor folds must not collapse absurdly: the pick
-            # is at least the largest divisor <= 1/8 of the cap
-            floor = max(
-                (d for d in range(1, min(cap // 8, b) + 1) if b % d == 0),
-                default=1,
-            )
+            floor = _tile_floor(b, cap)
             assert tile >= floor, (pick.__name__, b, h4, dt, tile, floor)
 
 
@@ -288,10 +296,8 @@ def test_layer_tile_picker_invariants():
         _pick_b_tile_layer_fwd,
     )
 
-    shapes = [(64, 512), (256, 1024), (512, 1024), (752, 512),
-              (1520, 768), (6016, 512), (8, 64), (40, 256)]
     for (b, h4), dt, d in itertools.product(
-        shapes, (jnp.float32, jnp.bfloat16), (64, 256)
+        TILE_PICKER_SHAPES, (jnp.float32, jnp.bfloat16), (64, 256)
     ):
         s = 2 if dt == jnp.bfloat16 else 4
         cap = _MAX_TILE_ROWS_BWD[s]
@@ -299,8 +305,64 @@ def test_layer_tile_picker_invariants():
             tile = pick(b, d, h4, dt)
             assert b % tile == 0, (pick.__name__, b, d, h4, dt, tile)
             assert tile <= cap, (pick.__name__, b, d, h4, dt, tile)
-            floor = max(
-                (k for k in range(1, min(cap // 8, b) + 1) if b % k == 0),
-                default=1,
-            )
+            floor = _tile_floor(b, cap)
             assert tile >= floor, (pick.__name__, b, d, h4, dt, tile, floor)
+
+
+def test_bilstm_layer_batch_tiling():
+    """nb>1 path of the LAYER kernels: per-tile carry reset in the
+    forward and per-tile dWx/dWh/db accumulator reset + cross-tile sum
+    in the backward (the bug class test_batch_tiling covers for
+    lstm_pallas — ADVICE r3). b=1024 > the 384-row f32 cap forces 4
+    batch tiles in both directions."""
+    from wesep_tpu.ops.pallas_lstm import (
+        _pick_b_tile_layer_bwd,
+        _pick_b_tile_layer_fwd,
+        bilstm_layer,
+    )
+
+    b, t, d, h = 1024, 4, 64, 128
+    assert _pick_b_tile_layer_fwd(b, d, 4 * h, jnp.float32) < b
+    assert _pick_b_tile_layer_bwd(b, d, 4 * h, jnp.float32) < b
+    args = _bi_inputs(seed=7, b=b, t=t, d=d, h=h)
+
+    got = bilstm_layer(*args)
+    want = _ref_bilstm(*args)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+    )
+
+    def loss_layer(*a):
+        return jnp.sum(jnp.tanh(bilstm_layer(*a)))
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.tanh(_ref_bilstm(*a)))
+
+    # weight grads sum across batch tiles; x-grads exercise per-tile dx
+    gl = jax.grad(loss_layer, argnums=(0, 1, 3, 2))(*args)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 3, 2))(*args)
+    for i, (g, w) in enumerate(zip(gl, gr)):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), atol=5e-4, rtol=1e-3,
+            err_msg=f"grad {i}",
+        )
+
+
+def test_flop_ledger_fresh_trace():
+    """The analytic FLOP ledger fills on a FRESH trace even after the same
+    function object was jitted and executed (the jaxpr cache would
+    otherwise skip the recording Python — the r4 bench 0.0-gflops bug)."""
+    from wesep_tpu.ops import pallas_lstm as P
+
+    args = _bi_inputs(seed=8, b=8, t=4, d=64, h=128)
+    b, t, d, h = 8, 4, 64, 128
+
+    def loss(*a):
+        return jnp.sum(P.bilstm_layer(*a))
+
+    g = jax.grad(loss, argnums=(0,))
+    jax.jit(g)(*args)  # populate the jaxpr cache
+    P.reset_flop_ledger()
+    jax.eval_shape(lambda *a: g(*a), *args)
+    want = (2 * 2 + 2 * 6) * t * b * (d + h) * 4 * h
+    assert P.flop_ledger() == want

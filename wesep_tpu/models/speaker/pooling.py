@@ -11,51 +11,57 @@ import jax.numpy as jnp
 __all__ = ["TSTP", "ASTP", "MQMHASTP", "get_pooling"]
 
 
-def _stats(x, weights=None, eps=1e-7):
-    """Weighted mean/std over the time axis of [B, T, D]."""
-    if weights is None:
-        mean = jnp.mean(x, axis=1)
-        var = jnp.mean(jnp.square(x), axis=1) - jnp.square(mean)
-    else:
-        mean = jnp.sum(weights * x, axis=1)
-        var = jnp.sum(weights * jnp.square(x), axis=1) - jnp.square(mean)
-    std = jnp.sqrt(jnp.clip(var, min=eps))
-    return mean, std
-
-
 class TSTP(nn.Module):
-    """Temporal statistics pooling: concat(mean, std) -> [B, 2D]."""
+    """Temporal statistics pooling: concat(mean, std) -> [B, 2D].
+
+    wespeaker-exact: std = sqrt(UNBIASED var + 1e-7) (torch.var's default
+    correction; wespeaker pooling_layers.TSTP)."""
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        mean, std = _stats(x.astype(jnp.float32))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=1)
+        std = jnp.sqrt(jnp.var(xf, axis=1, ddof=1) + 1e-7)
         return jnp.concatenate([mean, std], axis=-1).astype(x.dtype)
 
 
 class ASTP(nn.Module):
-    """Attentive statistics pooling (ECAPA-style), optionally with global
-    context: attention input is [x, mean(x), std(x)] tiled over time.
+    """Attentive statistics pooling, wespeaker-exact (same numerics as
+    ecapa_ws._ASTP_WS): global context uses per-channel mean and UNBIASED
+    std over time (+1e-10); attention projections named linear1/linear2
+    (1x1 convs in wespeaker, Dense on this channels-last layout);
+    weighted std clamped at 1e-10 before the sqrt. wespeaker's default
+    for non-GLOB models is global_context_att=False.
     """
 
     bottleneck_dim: int = 128
-    global_context: bool = True
+    global_context: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         b, t, d = x.shape
+        xf = x.astype(jnp.float32)
         if self.global_context:
-            mean, std = _stats(x.astype(jnp.float32))
-            ctx = jnp.concatenate([mean, std], axis=-1).astype(x.dtype)
+            mean = jnp.mean(xf, axis=1, keepdims=True)
+            std = jnp.sqrt(
+                jnp.var(xf, axis=1, keepdims=True, ddof=1) + 1e-10
+            )
             attn_in = jnp.concatenate(
-                [x, jnp.broadcast_to(ctx[:, None, :], (b, t, 2 * d))], axis=-1
+                [
+                    xf,
+                    jnp.broadcast_to(mean, (b, t, d)),
+                    jnp.broadcast_to(std, (b, t, d)),
+                ],
+                axis=-1,
             )
         else:
-            attn_in = x
-        a = nn.Dense(self.bottleneck_dim, name="att1")(attn_in)
-        a = jnp.tanh(a)
-        a = nn.Dense(d, name="att2")(a)
+            attn_in = xf
+        a = jnp.tanh(nn.Dense(self.bottleneck_dim, name="linear1")(attn_in))
+        a = nn.Dense(d, name="linear2")(a)
         w = nn.softmax(a.astype(jnp.float32), axis=1)
-        mean, std = _stats(x.astype(jnp.float32), w)
+        mean = jnp.sum(w * xf, axis=1)
+        var = jnp.sum(w * jnp.square(xf), axis=1) - jnp.square(mean)
+        std = jnp.sqrt(jnp.clip(var, min=1e-10))
         return jnp.concatenate([mean, std], axis=-1).astype(x.dtype)
 
 

@@ -41,6 +41,35 @@ def pallas_available() -> bool:
     return plat in ("tpu", "axon")
 
 
+# ---- analytic FLOP ledger (trace-time) --------------------------------------
+#
+# XLA's compiled.cost_analysis() reports ~0 flops for Pallas custom calls,
+# so an MFU computed from it undercounts everything inside these kernels —
+# and the undercount GREW when round 3 moved the input projections
+# in-kernel (bilstm_layer), making the committed gflops/MFU numbers drop
+# while real utilization improved. Fix: each kernel-impl below adds its
+# analytic matmul FLOPs to this ledger at TRACE time. Benchmarks reset the
+# ledger, trace/lower the step exactly once, then read it back and add it
+# to the XLA-visible count (one trace == one step's worth of dispatches).
+# Only MXU matmul FLOPs are counted (the MFU convention); VPU gate math is
+# ~H/20x smaller and excluded.
+_FLOP_LEDGER = {"flops": 0.0}
+
+
+def reset_flop_ledger():
+    _FLOP_LEDGER["flops"] = 0.0
+
+
+def flop_ledger() -> float:
+    """Analytic matmul FLOPs recorded by Pallas dispatches since the last
+    reset (trace-time; call around a single .lower()/trace)."""
+    return _FLOP_LEDGER["flops"]
+
+
+def _record_flops(n):
+    _FLOP_LEDGER["flops"] += float(n)
+
+
 # The grid of every kernel here is (nb, T) and Pallas grids run
 # SEQUENTIALLY on the core, so total sequential steps = nb * T. The tile
 # pickers model each kernel's actual VMEM working set (the pipeline
@@ -118,6 +147,7 @@ def _forward(xw, wh, reverse):
     b_tile = _pick_b_tile(b, h4, xw.dtype)
     nb = b // b_tile
     interpret = not pallas_available()
+    _record_flops(2 * t_len * b * h * h4)  # h @ wh per step
 
     def kernel(xw_ref, wh_ref, ys_ref, cs_ref, h_ref, c_ref):
         t = pl.program_id(1)
@@ -196,6 +226,8 @@ def _bwd_impl(reverse, res, dys):
     b_tile = _pick_b_tile_bwd(b, h4, xw.dtype)
     nb = b // b_tile
     interpret = not pallas_available()
+    # 3 dots per step: gate recompute, dgates @ wh^T, h_prev^T @ dgates
+    _record_flops(6 * t_len * b * h * h4)
 
     def kernel(xw_ref, wh_ref, ysp_ref, csp_ref, cs_ref, dys_ref,
                dxw_ref, dwh_ref, db_ref, dh_ref, dc_ref, dwh_acc, db_acc):
@@ -417,6 +449,7 @@ def _bi_forward(xw_f, xw_b, wh_f, wh_b):
     b_tile = _pick_b_tile_bi_fwd(b, h4, xw_f.dtype)
     nb = b // b_tile
     interpret = not pallas_available()
+    _record_flops(2 * 2 * t_len * b * h * h4)  # 2 dirs, h @ wh per step
 
     def gates(xw_blk, h_state, wh_ref):
         g = xw_blk.astype(jnp.float32) + jnp.dot(
@@ -503,6 +536,7 @@ def _bi_backward(xw_f, xw_b, wh_f, wh_b, ys_f, ys_b, cs_f, cs_b,
     b_tile = _pick_b_tile_bi_bwd(b, h4, xw_f.dtype)
     nb = b // b_tile
     interpret = not pallas_available()
+    _record_flops(2 * 6 * t_len * b * h * h4)  # 2 dirs x 3 dots per step
 
     def adjoint(xw_blk, wh_ref, h_prev, c_prev, c_t, dy_blk, dh, dc):
         """One direction's adjoint step -> (dgates, dh_prev, dc_prev,
@@ -789,6 +823,8 @@ def _bi_layer_forward(x_tm, wx_f, b_f, wh_f, wx_b, b_b, wh_b):
     b_tile = _pick_b_tile_layer_fwd(b, d, h4, x_tm.dtype)
     nb = b // b_tile
     interpret = not pallas_available()
+    # 2 dirs x (x @ wx + h @ wh) per step
+    _record_flops(2 * 2 * t_len * b * (d + h) * h4)
 
     def gates(x_blk, wx_ref, b_ref, h_state, wh_ref):
         g = (
@@ -885,6 +921,9 @@ def _bi_layer_backward(x_tm, wx_f, b_f, wh_f, wx_b, b_b, wh_b,
     b_tile = _pick_b_tile_layer_bwd(b, d, h4, x_tm.dtype)
     nb = b // b_tile
     interpret = not pallas_available()
+    # 2 dirs x 5 dots per step: gate recompute (x @ wx + h @ wh),
+    # dgates @ wh^T, dgates @ wx^T, x^T @ dgates, h_prev^T @ dgates
+    _record_flops(2 * 6 * t_len * b * (d + h) * h4)
 
     def adjoint(x_blk, wx_ref, b_ref, wh_ref, h_prev, c_prev, c_t,
                 dy_blk, dh, dc):

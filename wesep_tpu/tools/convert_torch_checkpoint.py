@@ -7,11 +7,11 @@ families) to a wesep-tpu bundle.
 Reads the reference's .pt bundle/state_dict, maps the separator core onto
 the flax param tree (wesep_tpu.utils.torch_port), and writes a wesep-tpu
 msgpack checkpoint loadable by bin/infer, the CLI extractor, and the
-serving runtime. Jointly-trained wespeaker ECAPA speaker branches are
-detected by state-dict fingerprint and ported too (with BN running stats
-as batch_stats); run the converted model with
-`spk_args: {layout: wespeaker}`. Other joint encoder families
-(ResNet/CAMPPlus) are still skipped with a note (PARITY.md known gaps).
+serving runtime. Jointly-trained wespeaker ECAPA and ResNet speaker
+branches are detected by state-dict fingerprint and ported too (with BN
+running stats as batch_stats); ECAPA checkpoints run with
+`spk_args: {layout: wespeaker}`. CAMPPlus joints are still skipped with
+a note (PARITY.md known gaps).
 """
 
 import argparse
@@ -33,6 +33,7 @@ def main():
     from wesep_tpu.train.checkpoint import save_checkpoint
     from wesep_tpu.utils.torch_port import (
         load_torch_state_dict,
+        port_bsrnn_feats_state_dict,
         port_bsrnn_state_dict,
         port_convtasnet_state_dict,
         port_dpccn_state_dict,
@@ -45,7 +46,17 @@ def main():
     name = configs["model"]["tse_model"]
     margs = configs["model_args"]["tse_model"]
     sd = load_torch_state_dict(args.torch_ckpt)
-    if name.startswith("BSRNN"):
+    if name.startswith("BSRNN_Feats"):
+        params = port_bsrnn_feats_state_dict(
+            sd,
+            sr=margs.get("sr", 16000),
+            win=margs.get("win", 512),
+            num_repeat=margs.get("num_repeat", 6),
+            multi_fuse=margs.get("multi_fuse", False),
+            use_spk_transform=margs.get("use_spk_transform", False),
+            spk_fuse_type=margs.get("spk_fuse_type", "concat"),
+        )
+    elif name.startswith("BSRNN"):
         params = port_bsrnn_state_dict(
             sd,
             sr=margs.get("sr", 16000),
@@ -73,25 +84,35 @@ def main():
         if k.startswith("spk_model.")
     }
     if spk_sd:
+        # flax scope of the joint branch: BSRNN family uses
+        # 'spk_model_net' (bsrnn.py:250), DPCCN/TFGridNet 'spk_model'
+        scope = "spk_model_net" if name.startswith("BSRNN") else "spk_model"
         # wespeaker ECAPA fingerprint: per-split BNs inside the Res2 stage
         if "layer2.se_res2block.1.bns.0.weight" in spk_sd:
             spk_params, spk_stats = port_wespeaker_ecapa_state_dict(spk_sd)
-            # flax scope of the joint branch: BSRNN family uses
-            # 'spk_model_net' (bsrnn.py:250), DPCCN/TFGridNet 'spk_model'
-            scope = "spk_model_net" if name.startswith("BSRNN") else (
-                "spk_model")
             params[scope] = spk_params
             batch_stats = {scope: spk_stats}
             print(
                 "ported joint wespeaker-ECAPA speaker branch; run the "
                 "model with spk_args: {layout: wespeaker}"
             )
+        # wespeaker ResNet fingerprint: numbered block convs + seg_1 head
+        elif ("layer1.0.conv1.weight" in spk_sd
+              and "seg_1.weight" in spk_sd):
+            from wesep_tpu.utils.torch_port import (
+                port_wespeaker_resnet_state_dict,
+            )
+
+            spk_params, spk_stats = port_wespeaker_resnet_state_dict(spk_sd)
+            params[scope] = spk_params
+            batch_stats = {scope: spk_stats}
+            print("ported joint wespeaker-ResNet speaker branch")
         else:
             print(
                 "NOTE: joint speaker-encoder weights present in the source "
-                "but not a wespeaker-ECAPA layout; use spk_feat inference "
-                "with a separately trained encoder or retrain the joint "
-                "branch."
+                "but not a wespeaker ECAPA/ResNet layout; use spk_feat "
+                "inference with a separately trained encoder or retrain "
+                "the joint branch."
             )
     save_checkpoint(
         args.out, [params],

@@ -6,9 +6,10 @@ published hub checkpoints) run on the TPU stack. The mappings mirror the
 weight-port parity tests (tests/test_bsrnn.py etc.), operating on plain
 state-dict key/value pairs (values: numpy arrays).
 
-Covered: all four flagship separator cores — BSRNN / BSRNN_Multi (band
-norms, bottlenecks, fuse incl. FiLM, BSNets, mask MLPs, speaker
-transform), DPCCN (dense U-Net + TCN + pyramid pooling), TF-GridNet
+Covered: all separator cores — BSRNN / BSRNN_Multi (band norms,
+bottlenecks, fuse incl. FiLM, BSNets, mask MLPs, speaker transform),
+BSRNN_Feats (tfmap_* BN widths + cross-attention attenFuse stack),
+DPCCN (dense U-Net + TCN + pyramid pooling), TF-GridNet
 (conv embed, GridNet blocks, attention norms, deconv), and
 ConvTasNet/SpEx+ (multi-scale encoder/decoders, fuse+TCN repeats), and
 the jointly-trained wespeaker ECAPA speaker branch
@@ -23,10 +24,12 @@ import numpy as np
 
 __all__ = [
     "port_bsrnn_state_dict",
+    "port_bsrnn_feats_state_dict",
     "port_dpccn_state_dict",
     "port_tfgridnet_state_dict",
     "port_convtasnet_state_dict",
     "port_wespeaker_ecapa_state_dict",
+    "port_wespeaker_resnet_state_dict",
     "load_torch_state_dict",
 ]
 
@@ -200,6 +203,63 @@ def port_bsrnn_state_dict(
         params["pred_linear"] = {
             "kernel": sd["pred_linear.weight"].T,
             "bias": sd["pred_linear.bias"],
+        }
+    return params
+
+
+def port_bsrnn_feats_state_dict(
+    sd: Dict[str, np.ndarray],
+    sr: int = 16000,
+    win: int = 512,
+    num_repeat: int = 6,
+    multi_fuse: bool = False,
+    use_spk_transform: bool = False,
+    spk_fuse_type: str = "concat",
+    spk_map: Optional[Callable[[Dict[str, np.ndarray]], dict]] = None,
+) -> dict:
+    """Reference BSRNN_Feats state_dict -> wesep_tpu BSRNN_Feats params.
+
+    The BN/separator/mask core is the BSRNN mapping (tfmap_* configs only
+    change the BN input widths, carried by the weights themselves). For
+    cross_* fusion it additionally ports the attenFuse stack
+    (/root/reference/wesep/models/bsrnn_feats.py:131-137): the frame-
+    feature Linear -> `cross_proj`, the nn.MultiheadAttention ->
+    `cross_att` q/k/v/out Dense split, and renames the interleaved fuse
+    layers to the `cross_fuse_{i}` scopes of the flax cross path.
+    """
+    params = port_bsrnn_state_dict(
+        sd,
+        sr=sr,
+        win=win,
+        num_repeat=num_repeat,
+        multi_fuse=multi_fuse,
+        use_spk_transform=use_spk_transform,
+        spk_fuse_type=spk_fuse_type or "None",
+        spk_map=spk_map,
+    )
+    if spk_fuse_type and spk_fuse_type.startswith("cross_"):
+        for i in range(num_repeat if multi_fuse else 1):
+            if f"fuse_{i}" in params:
+                params[f"cross_fuse_{i}"] = params.pop(f"fuse_{i}")
+        params["cross_proj"] = {
+            "kernel": sd["separator.attenFuse.0.weight"].T,
+            "bias": sd["separator.attenFuse.0.bias"],
+        }
+        w = sd["separator.attenFuse.1.multihead_attn.in_proj_weight"]
+        b = sd["separator.attenFuse.1.multihead_attn.in_proj_bias"]
+        n = w.shape[1]
+        params["cross_att"] = {
+            "q_proj": {"kernel": w[:n].T, "bias": b[:n]},
+            "k_proj": {"kernel": w[n:2 * n].T, "bias": b[n:2 * n]},
+            "v_proj": {"kernel": w[2 * n:].T, "bias": b[2 * n:]},
+            "out_proj": {
+                "kernel": sd[
+                    "separator.attenFuse.1.multihead_attn.out_proj.weight"
+                ].T,
+                "bias": sd[
+                    "separator.attenFuse.1.multihead_attn.out_proj.bias"
+                ],
+            },
         }
     return params
 
@@ -557,6 +617,117 @@ def port_wespeaker_ecapa_state_dict(
     params["linear"] = _linear_sd(spk_sd, "linear")
     if "bn2.weight" in spk_sd:  # emb_bn=True
         params["bn2"], stats["bn2"] = _bn1d_sd(spk_sd, "bn2")
+    return params, stats
+
+
+# ---- wespeaker ResNet joint speaker branch (wespeaker/models/resnet.py,
+# the reference's default joint encoder — spk_model 'ResNet34' in
+# /root/reference/examples/librimix/tse/v2/confs/bsrnn.yaml:57-62) ------------
+
+def _bn2d_sd(sd, prefix):
+    return (
+        {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]},
+        {
+            "mean": sd[f"{prefix}.running_mean"],
+            "var": sd[f"{prefix}.running_var"],
+        },
+    )
+
+
+def _conv2d_nobias_sd(sd, prefix):
+    """torch Conv2d (bias=False) [out,in,kh,kw] -> flax [kh,kw,in,out]."""
+    return {"kernel": sd[f"{prefix}.weight"].transpose(2, 3, 1, 0)}
+
+
+def _cf_perm(c: int, f: int) -> np.ndarray:
+    """Index map from this repo's (f-major) flattened frame features to
+    wespeaker's (c-major): ours j = f*C + c reads torch index c*F + f.
+
+    wespeaker's ResNet pools the conv map as (B, C*F, T) (C-major
+    flatten); the flax ResNet emits [B, T, F*C] (channels-last). Any
+    weight whose C*F-sized dim touches those features must be permuted.
+    """
+    j = np.arange(f * c)
+    return (j % c) * f + j // c
+
+
+def port_wespeaker_resnet_state_dict(
+    spk_sd: Dict[str, np.ndarray],
+) -> Tuple[dict, dict]:
+    """wespeaker ResNet state_dict (keys relative to the encoder) ->
+    (params, batch_stats) for models.speaker.resnet.ResNet.
+
+    Handles Basic and Bottleneck blocks (conv3 fingerprint), numbered
+    shortcut Sequentials, TSTP (param-free) and ASTP pooling (with the
+    C-major -> F-major feature permutation of linear1/linear2/seg_1 —
+    see _cf_perm), and the optional two-emb head (seg_bn_1 affine-free BN
+    + seg_2).
+    """
+    params: dict = {}
+    stats: dict = {}
+    params["conv1"] = _conv2d_nobias_sd(spk_sd, "conv1")
+    params["bn1"], stats["bn1"] = _bn2d_sd(spk_sd, "bn1")
+    expansion = 1
+    c_out = spk_sd["bn1.weight"].shape[0]
+    for s in (1, 2, 3, 4):
+        i = 0
+        while f"layer{s}.{i}.conv1.weight" in spk_sd:
+            base = f"layer{s}.{i}"
+            blk_p: dict = {}
+            blk_s: dict = {}
+            convs = ("conv1", "conv2", "conv3") if (
+                f"{base}.conv3.weight" in spk_sd) else ("conv1", "conv2")
+            expansion = 4 if len(convs) == 3 else 1
+            for j, cname in enumerate(convs, start=1):
+                blk_p[cname] = _conv2d_nobias_sd(spk_sd, f"{base}.{cname}")
+                blk_p[f"bn{j}"], blk_s[f"bn{j}"] = _bn2d_sd(
+                    spk_sd, f"{base}.bn{j}"
+                )
+            if f"{base}.shortcut.0.weight" in spk_sd:
+                blk_p["shortcut_conv"] = _conv2d_nobias_sd(
+                    spk_sd, f"{base}.shortcut.0"
+                )
+                blk_p["shortcut_bn"], blk_s["shortcut_bn"] = _bn2d_sd(
+                    spk_sd, f"{base}.shortcut.1"
+                )
+            c_out = spk_sd[f"{base}.bn{len(convs)}.weight"].shape[0]
+            params[f"layer{s}_{i}"] = blk_p
+            stats[f"layer{s}_{i}"] = blk_s
+            i += 1
+        assert i > 0, f"no blocks under layer{s}"
+
+    seg1_w = spk_sd["seg_1.weight"]  # [emb, 2*C*F]
+    cf = seg1_w.shape[1] // 2
+    f_out = cf // c_out
+    perm = _cf_perm(c_out, f_out)
+
+    if "pool.linear1.weight" in spk_sd:  # ASTP
+        w1 = spk_sd["pool.linear1.weight"][:, :, 0].T  # [in, bott]
+        n_blocks = w1.shape[0] // cf  # 1 or 3 (global context)
+        w1 = np.concatenate(
+            [w1[k * cf : (k + 1) * cf][perm] for k in range(n_blocks)],
+            axis=0,
+        )
+        w2 = spk_sd["pool.linear2.weight"][:, :, 0].T  # [bott, C*F]
+        params["pool"] = {
+            "linear1": {"kernel": w1, "bias": spk_sd["pool.linear1.bias"]},
+            "linear2": {
+                "kernel": w2[:, perm],
+                "bias": spk_sd["pool.linear2.bias"][perm],
+            },
+        }
+
+    seg1_k = seg1_w.T  # [2*C*F, emb]
+    params["seg_1"] = {
+        "kernel": np.concatenate([seg1_k[:cf][perm], seg1_k[cf:][perm]]),
+        "bias": spk_sd["seg_1.bias"],
+    }
+    if "seg_2.weight" in spk_sd:  # two_emb_layer
+        stats["seg_bn_1"] = {
+            "mean": spk_sd["seg_bn_1.running_mean"],
+            "var": spk_sd["seg_bn_1.running_var"],
+        }
+        params["seg_2"] = _linear_sd(spk_sd, "seg_2")
     return params, stats
 
 
