@@ -1,0 +1,194 @@
+"""Multi-host skew + preemption drill over 2 real processes (r4 VERDICT #8).
+
+Drives the REAL bin.train across two jax.distributed CPU processes with
+UNEQUAL per-host shard lists (5 shards -> 3 vs 2 after the rank
+partition — the data-end-skew scenario the reference absorbs with DDP
+`model.join()`, /root/reference/wesep/utils/executor.py:64-69; here the
+infinite shard repeat + fixed epoch_iter keep the collectives aligned),
+then delivers SIGTERM to ONE host mid-run: the executor's global stop
+vote must propagate the stop to the other rank at the same batch
+boundary (else its gradient psum hangs), rank 0 saves the preempt
+checkpoint, and a relaunch resumes to completion.
+
+These runs found and pin two real multi-host bugs: shard_batch used
+device_put (requires identical global batches on every process — now
+make_array_from_process_local_data) and an uncoordinated should_stop.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import os, sys, threading, signal
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+proc_id = int(sys.argv[1]); coord = sys.argv[2]; root = sys.argv[3]
+phase = sys.argv[4]  # "skew" | "sigterm" | "resume"
+os.environ["WESEP_DIST"] = "1"
+os.environ["WESEP_COORDINATOR"] = coord
+os.environ["WESEP_NUM_PROCESSES"] = "2"
+os.environ["WESEP_PROCESS_ID"] = str(proc_id)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+from wesep_tpu.bin.train import train
+ckpt = None
+if phase == "sigterm" and proc_id == 0:
+    # preemption lands on ONE host only; the executor's global stop vote
+    # must propagate it to the other rank (else rank 1 hangs in psum)
+    threading.Timer(
+        25.0, lambda: os.kill(os.getpid(), signal.SIGTERM)
+    ).start()
+if phase == "resume":
+    ckpt = os.path.join(root, "exp", "models", "latest_checkpoint.ckpt")
+    assert os.path.exists(ckpt), ckpt
+train(os.path.join(root, "config.yaml"), checkpoint=ckpt)
+print(f"proc {proc_id} TRAIN_DONE phase={phase}", flush=True)
+"""
+
+
+def _prep(root):
+    from test_e2e import _make_premixed_shard
+
+    from wesep_tpu.utils.file_utils import write_vec_ark_scp
+
+    spks = ["spkA", "spkB", "spkC", "spkD"]
+    embeds = {
+        f"utt_{s}": (np.eye(4, 16)[i] + 0.01).astype(np.float32)
+        for i, s in enumerate(spks)
+    }
+    _, scp = write_vec_ark_scp(str(root / "embed"), embeds)
+    (root / "single.utt2spk").write_text(
+        "".join(f"utt_{s} {s}\n" for s in spks)
+    )
+    paths = []
+    for si in range(5):  # odd count: rank0 gets 3 shards, rank1 gets 2
+        keys = {
+            f"s{si}u{i}": (spks[i % 4], spks[(i + 1) % 4]) for i in range(4)
+        }
+        p = str(root / f"train{si}.tar")
+        _make_premixed_shard(p, keys, t=4000, seed=si)
+        paths.append(p)
+    (root / "train.list").write_text("\n".join(paths) + "\n")
+    val_keys = {"cv00": (spks[0], spks[1])}
+    _make_premixed_shard(str(root / "val.tar"), val_keys, t=4000, seed=9)
+    (root / "val.list").write_text(str(root / "val.tar") + "\n")
+    for idx in (1, 2):
+        (root / f"val.spk{idx}_enroll").write_text(
+            "".join(f"{k} utt_{ss[idx - 1]}\n" for k, ss in val_keys.items())
+        )
+    cfg = {
+        "exp_dir": str(root / "exp"),
+        "data_type": "shard",
+        "train_data": str(root / "train.list"),
+        "val_data": str(root / "val.list"),
+        "train_spk_embeds": scp,
+        "train_utt2spk": str(root / "single.utt2spk"),
+        "val_spk_embeds": scp,
+        "val_spk1_enroll": str(root / "val.spk1_enroll"),
+        "val_spk2_enroll": str(root / "val.spk2_enroll"),
+        "seed": 17,
+        "num_epochs": 4,
+        "num_avg": 1,
+        "save_epoch_interval": 1,
+        "log_batch_interval": 2,
+        "clip_grad": 5.0,
+        "loss": "SISDR",
+        "loss_args": {},
+        "dataloader_args": {"batch_size": 4, "prefetch_factor": 0},
+        "dataset_args": {
+            "resample_rate": 16000,
+            "shuffle": True,
+            "shuffle_args": {"shuffle_size": 4},
+            "chunk_len": 3000,
+            "sample_num_per_epoch": 16,
+        },
+        "model": {"tse_model": "BSRNN"},
+        "model_args": {
+            "tse_model": {
+                "sr": 16000, "win": 512, "stride": 128, "feature_dim": 8,
+                "num_repeat": 1, "spk_fuse_type": "multiply",
+                "use_spk_transform": False, "multi_fuse": False,
+                "joint_training": False, "spk_emb_dim": 16,
+            }
+        },
+        "model_init": {"tse_model": None},
+        "optimizer": {"tse_model": "Adam"},
+        "optimizer_args": {"tse_model": {"lr": 1e-3, "weight_decay": 1e-4}},
+        "scheduler": {"tse_model": "ExponentialDecrease"},
+        "scheduler_args": {
+            "tse_model": {
+                "initial_lr": 1e-3, "final_lr": 1e-4,
+                "warm_up_epoch": 0, "warm_from_zero": False,
+            }
+        },
+    }
+    with open(root / "config.yaml", "w") as f:
+        yaml.dump(cfg, f)
+
+
+def _run_phase(tmp_path, root, phase, timeout=540):
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    coord = f"127.0.0.1:{s.getsockname()[1]}"
+    s.close()
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), coord, str(root), phase],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail(f"phase {phase}: worker timed out (likely a rank "
+                        "stuck in an unjoined collective)")
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"phase {phase} proc {i}:\n{out[-3000:]}"
+        assert f"proc {i} TRAIN_DONE phase={phase}" in out, out[-2000:]
+    return outs
+
+
+@pytest.mark.slow
+def test_skewed_shards_sigterm_and_resume(tmp_path):
+    root = tmp_path / "data"
+    root.mkdir()
+    _prep(root)
+
+    # phase 1: one-host SIGTERM mid-run -> coordinated stop + preempt ckpt
+    outs = _run_phase(tmp_path, root, "sigterm")
+    models = root / "exp" / "models"
+    preempts = sorted(models.glob("preempt_epoch*.ckpt"))
+    if not preempts:
+        # timer can fire after a short run completed; the drill then
+        # degenerates — require the run at least finished all epochs
+        assert (models / "final_checkpoint.ckpt").exists()
+        return
+    # the vote must have stopped BOTH ranks
+    for out in outs:
+        assert "stop requested" in out
+
+    # phase 2: resume from the preempt checkpoint to completion
+    _run_phase(tmp_path, root, "resume")
+    assert (models / "final_checkpoint.ckpt").exists()
+    assert (models / "checkpoint_4.ckpt").exists()

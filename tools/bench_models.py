@@ -152,6 +152,11 @@ def step_mfu(name, step, raw_step, state, batch, sec_per_step):
     FRESH abstract trace of the unjitted step (jax.eval_shape) — the
     jitted function's trace is cached after the first call and would not
     re-run the recording Python. v5e peak: 197 TFLOP/s bf16.
+
+    NB: the count is EXECUTED MXU FLOPs, which includes the backward
+    kernels' in-kernel gate recompute (a memory-saving implementation
+    choice, ~1/3 of the kernel backward). Strict model-FLOPs MFU is
+    ~25% lower for LSTM-dominated models.
     """
     try:
         import jax

@@ -111,7 +111,22 @@ def train(config: str, checkpoint=None, overrides=None, **kwargs):
     )
 
     if os.environ.get("WESEP_DIST"):
-        jax.distributed.initialize()
+        # On TPU pods / SLURM / k8s, bare initialize() auto-detects the
+        # cluster. For manual launches (the torchrun-replacement path)
+        # the coordinator/world can be given explicitly via env:
+        #   WESEP_COORDINATOR=host:port WESEP_NUM_PROCESSES=N
+        #   WESEP_PROCESS_ID=i
+        coord = os.environ.get("WESEP_COORDINATOR")
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=(
+                int(os.environ["WESEP_NUM_PROCESSES"])
+                if coord else None
+            ),
+            process_id=(
+                int(os.environ["WESEP_PROCESS_ID"]) if coord else None
+            ),
+        )
     setup_compilation_cache()
 
     configs = parse_config_or_kwargs(config, **kwargs)
@@ -433,6 +448,19 @@ def train(config: str, checkpoint=None, overrides=None, **kwargs):
             logger.info(
                 "mesh: %d data x %d model devices", data_devices, model_axis
             )
+    elif world_size > 1:
+        # multi-host: every process's devices MUST participate (a
+        # computation cannot span a subset of another host's devices),
+        # so the mesh is all devices and the GLOBAL rows (local x world)
+        # must divide it
+        if (micro_rows * world_size) % n_devices:
+            raise SystemExit(
+                f"global microbatch rows {micro_rows * world_size} "
+                f"(local {micro_rows} x {world_size} hosts) must divide "
+                f"the {n_devices}-device data mesh; adjust batch_size"
+            )
+        mesh = Mesh(np.asarray(jax.devices()).reshape(n_devices), ("data",))
+        data_devices = n_devices
     else:
         from wesep_tpu.train.trainer import fit_data_mesh
 

@@ -39,9 +39,12 @@ class Dense(nn.Module):
         fan_in = x.shape[-1]
         init = torch_linear_init(fan_in)
         kernel = self.param("kernel", init, (fan_in, self.features))
+        # compute in the INPUT dtype (bf16 under mixed precision): without
+        # the kernel cast, jnp promotes bf16 x against the f32 param and
+        # the matmul runs f32 (params are stored f32 by design)
         y = jnp.matmul(
             x.astype(self.dtype or x.dtype),
-            kernel.astype(self.dtype or kernel.dtype),
+            kernel.astype(self.dtype or x.dtype),
             preferred_element_type=jnp.float32,
         )
         if self.use_bias:
@@ -90,6 +93,9 @@ class Conv1d(nn.Module):
             kernel = self.param(
                 "kernel", init, (self.kernel_size, 1, self.features)
             )
+            # keep the chain in the input dtype: f32 params would promote
+            # the whole [B, T, C] stream (and its adjoints) to f32
+            kernel = kernel.astype(x.dtype)
             pad_lo, pad_hi = padding[0]
             xp = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (0, 0)))
             t_out = xp.shape[1] - self.dilation * (self.kernel_size - 1)
@@ -101,7 +107,8 @@ class Conv1d(nn.Module):
                 term = tap * kernel[k, 0]
                 y = term if y is None else y + term
             if self.use_bias:
-                y = y + self.param("bias", init, (self.features,))
+                bias = self.param("bias", init, (self.features,))
+                y = y + bias.astype(x.dtype)
             return y
         return nn.Conv(
             features=self.features,
@@ -113,6 +120,9 @@ class Conv1d(nn.Module):
             use_bias=self.use_bias,
             kernel_init=init,
             bias_init=init,
+            # computation dtype = input dtype; flax would otherwise
+            # promote against the f32 params and run the conv in f32
+            dtype=x.dtype,
         )(x)
 
 
@@ -139,22 +149,29 @@ class GlobalLayerNorm(nn.Module):
         weight = self.param("weight", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
         axes = tuple(range(1, x.ndim))
-        x32 = x.astype(jnp.float32)
         # single-pass stats: E[x^2]-E[x]^2 lets XLA fuse both sums into
         # ONE read of x instead of the two serialized passes of the
         # centered form — the gLN stats reductions are ~49% of the SpEx+
-        # step (xplane attribution, BASELINE.md). f32 accumulation keeps
-        # the cancellation error ~1e-7 relative at activation scales.
-        mean = jnp.mean(x32, axis=axes, keepdims=True)
-        meansq = jnp.mean(jnp.square(x32), axis=axes, keepdims=True)
+        # step (xplane attribution, BASELINE.md). The squares stay in
+        # the COMPUTE dtype (their adjoint is a full [B, T, C] stream —
+        # an x.astype(f32) upcast would put that stream in f32, r4
+        # xplane finding) while the reductions accumulate in f32, which
+        # keeps the cancellation error small at activation scales.
+        mean = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
+        meansq = jnp.mean(
+            jnp.square(x), axis=axes, keepdims=True, dtype=jnp.float32
+        )
         var = jnp.maximum(meansq - jnp.square(mean), 0.0)
         scale = jax.lax.rsqrt(var + self.eps)
         if self.return_affine:
             a = weight * scale  # [B, 1.., C]
             caff = bias - mean * weight * scale
             return a, caff
-        y = (x32 - mean) * scale
-        return (weight * y + bias).astype(x.dtype)
+        # apply as an affine of x in the compute dtype (keeps the big
+        # stream and its adjoint out of f32; exact for f32 inputs)
+        a = (weight * scale).astype(x.dtype)
+        caff = (bias - mean * weight * scale).astype(x.dtype)
+        return a * x + caff
 
 
 class ChannelLayerNorm(nn.Module):
@@ -164,7 +181,11 @@ class ChannelLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.LayerNorm(epsilon=self.eps)(x)
+        # stats/affine run f32 (flax promotes against the f32 params —
+        # good for accuracy); cast back so ONE encoder norm does not
+        # poison the whole downstream network to f32 under bf16 compute
+        # (r4 finding: the entire SpEx+ TCN ran f32 because of this)
+        return nn.LayerNorm(epsilon=self.eps)(x).astype(x.dtype)
 
 
 class BatchNorm1d(nn.Module):

@@ -54,10 +54,11 @@ def _gln_dconv_commuted(p, dconv, gln):
     exactly these [B, T', H] passes — BASELINE.md SpEx+ note).
     Numerically identical up to fp reassociation.
     """
-    a, caff = gln(p)  # [B, 1, C] f32 each
-    z = dconv(p)  # includes the conv bias
+    dt = p.dtype
+    a, caff = gln(p)  # [B, 1, C] f32 each (stats stay f32)
+    z = dconv(p)  # includes the conv bias; dt stream
     kern = dconv.get_variable("params", "kernel")  # [k, 1, C]
-    bd = dconv.get_variable("params", "bias").astype(jnp.float32)  # [C]
+    bd = dconv.get_variable("params", "bias").astype(dt)  # [C]
     k32 = kern.astype(jnp.float32)
     # per-output-position sum of IN-range tap weights (edges differ:
     # sw_t[t] == sum_k(w_k) in the interior, smaller near the edges)
@@ -72,8 +73,12 @@ def _gln_dconv_commuted(p, dconv, gln):
         tap = tpos + k * dil - pad_lo
         inr = ((tap >= 0) & (tap < t_len)).astype(jnp.float32)
         sw_t = sw_t + inr[:, None] * k32[k, 0][None, :]
-    out = a * (z.astype(jnp.float32) - bd) + caff * sw_t + bd
-    return out.astype(p.dtype)
+    # apply the affine in the COMPUTE dtype: the [B, T, C] elementwise
+    # stream and its adjoints would otherwise run (and spill) in f32 —
+    # the xplane r4 attribution showed the SpEx+ step dominated by f32
+    # kLoop passes over exactly these tensors
+    return (a.astype(dt) * (z - bd)
+            + caff.astype(dt) * sw_t.astype(dt) + bd)
 
 
 def _gln_conv1x1_applied(y, conv, a, caff):
@@ -89,14 +94,14 @@ def _gln_conv1x1_applied(y, conv, a, caff):
     the block's second gLN; takes (a, caff) so the skip-connection conv
     can reuse one affine.
     """
-    z = conv((a * y.astype(jnp.float32)).astype(y.dtype))  # has bias
+    dt = y.dtype
+    z = conv(a.astype(dt) * y)  # has bias; dt stream end to end
     # W^T caff via two length-1 conv calls (shared params): the 1x1
     # kernel lives in Conv1d's inner nn.Conv scope, and conv(c) -
     # conv(0) strips the bias exactly. [B, 1, C] x [C, F] — negligible.
-    cb = caff.astype(y.dtype)
+    cb = caff.astype(dt)
     corr = conv(cb) - conv(jnp.zeros_like(cb))
-    return (z.astype(jnp.float32) + corr.astype(jnp.float32)).astype(
-        y.dtype)
+    return z + corr
 
 __all__ = ["ConvTasNet"]
 
@@ -121,6 +126,7 @@ class ConvTranspose1d(nn.Module):
             padding="VALID",
             kernel_init=init,
             bias_init=init,
+            dtype=x.dtype,  # see common.Conv1d: avoid f32 promotion
         )(x)
 
 

@@ -40,11 +40,14 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     in bf16 the centering/scaling rounds to bf16, which is already the
     output precision."""
     axes = tuple(range(1, x.ndim - 1))
-    x32 = x.astype(jnp.float32)
     # single-pass stats (E[x^2] - E[x]^2): the two reductions fuse into
-    # one read of x, halving the stats passes of the ~60 INs per forward
-    mean = jnp.mean(x32, axis=axes, keepdims=True)
-    m2 = jnp.mean(jnp.square(x32), axis=axes, keepdims=True)
+    # one read of x, halving the stats passes of the ~60 INs per forward.
+    # The square stays in the compute dtype (an x.astype(f32) upcast
+    # would put the square's ADJOINT — a full-size stream — in f32, the
+    # r4 gLN finding); the reductions accumulate f32.
+    mean = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
+    m2 = jnp.mean(jnp.square(x), axis=axes, keepdims=True,
+                  dtype=jnp.float32)
     var = jnp.maximum(m2 - jnp.square(mean), 0.0)
     scale = jax.lax.rsqrt(var + eps).astype(x.dtype)
     return (x - mean.astype(x.dtype)) * scale
@@ -72,6 +75,7 @@ class Conv2dBlock(nn.Module):
             kernel_init=init,
             bias_init=init,
             name="conv",
+            dtype=x.dtype,  # avoid f32 promotion against f32 params
         )(x)
         return instance_norm(nn.elu(y))
 
@@ -103,6 +107,7 @@ class ConvTrans2dBlock(nn.Module):
             kernel_init=init,
             bias_init=init,
             name="conv",
+            dtype=x.dtype,
         )(x)
         slices = [slice(None)]
         for d in range(2):
@@ -244,6 +249,7 @@ class DPCCN(nn.Module):
             16, self.kernel_size, strides=self.stride1,
             padding=[(p, p) for p in self.paddings],
             kernel_init=init0, bias_init=init0, name="conv2d",
+            dtype=x.dtype,
         )(x)
         out = DenseBlock(16, 16, "enc", name="enc0")(out)
 
@@ -327,7 +333,7 @@ class DPCCN(nn.Module):
         y = nn.ConvTranspose(
             2, self.kernel_size, strides=self.stride1, padding="VALID",
             transpose_kernel=True, kernel_init=init_d, bias_init=init_d,
-            name="deconv2d",
+            name="deconv2d", dtype=out.dtype,
         )(out)
         y = y[:, self.paddings[0] : self.paddings[0] + t,
               self.paddings[1] : self.paddings[1] + f]

@@ -98,6 +98,7 @@ class GridNetBlock(nn.Module):
                 kernel_init=init,
                 bias_init=init,
                 name=f"{name}_linear",
+                dtype=y.dtype,  # avoid f32 promotion against f32 params
             )(y)  # [B', L, C]
         return y + inp
 
@@ -372,6 +373,7 @@ class TFGridNet(nn.Module):
         y = nn.Conv(
             self.emb_dim, (3, 3), padding=[(1, 1), (1, 1)],
             kernel_init=init0, bias_init=init0, name="conv",
+            dtype=feat.dtype,
         )(feat)
         # GroupNorm(1, emb): over (T, F, C) per sample, per-channel affine
         gamma = self.param(
@@ -463,6 +465,7 @@ class TFGridNet(nn.Module):
         y = nn.ConvTranspose(
             self.n_srcs * 2, (3, 3), padding="VALID", transpose_kernel=True,
             kernel_init=init_d, bias_init=init_d, name="deconv",
+            dtype=y.dtype,
         )(y)
         t_frames = feat.shape[1]
         y = y[:, 1 : 1 + t_frames, 1 : 1 + n_freqs]  # torch padding (1,1)

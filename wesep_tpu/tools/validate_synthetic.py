@@ -215,8 +215,25 @@ def build_corpus_online(args):
     return n_train
 
 
+def run(work_dir, model="BSRNN", num_epochs=4, online_mix=False, **kw):
+    """Programmatic entry -> SI-SNRi (dB). Same defaults as the CLI;
+    used by tests/test_quality_floors.py to pin per-family convergence
+    floors as regression gates."""
+    args = argparse.Namespace(
+        work_dir=work_dir, model=model, num_spk=8, utts_per_spk=12,
+        num_epochs=num_epochs, batch_size=8, feature_dim=32,
+        num_repeat=2, chunk_len=32000, seed=0, online_mix=online_mix,
+    )
+    for k, v in kw.items():
+        setattr(args, k, v)
+    return _run(args)
+
+
 def main():
-    args = get_args()
+    return _run(get_args())
+
+
+def _run(args):
     root = args.work_dir
     if args.online_mix:
         return main_online(args)

@@ -16,6 +16,39 @@ from wesep_tpu.utils.config import table_row
 __all__ = ["Executor"]
 
 
+def _make_stop_vote(should_stop):
+    """Wrap a per-process stop predicate into a GLOBALLY consistent one.
+
+    Preemption (SIGTERM) lands on each host at slightly different batch
+    boundaries; if rank A stops after batch k while rank B enters batch
+    k+1, B's gradient psum waits on A forever (the DDP `model.join()`
+    analogue, reference executor.py:64-69). Every rank therefore
+    all-gathers its local flag at the SAME batch index and stops iff any
+    rank voted stop — one tiny host collective per batch, absorbed by
+    the training step's own cross-host collectives.
+    """
+    if should_stop is None:
+        return None
+    try:
+        import jax
+
+        n_proc = jax.process_count()
+    except Exception:
+        n_proc = 1
+    if n_proc == 1:
+        return should_stop
+
+    def vote():
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray([bool(should_stop())], np.int32)
+        )
+        return bool(np.any(flags))
+
+    return vote
+
+
 class Executor:
     def __init__(self):
         self.step = 0
@@ -45,8 +78,9 @@ class Executor:
         self.stopped = False
         losses = []
         meter = ThroughputMeter(sample_rate=sample_rate)
+        vote_stop = _make_stop_vote(should_stop)
         for i, batch in enumerate(dataloader):
-            if should_stop is not None and should_stop():
+            if vote_stop is not None and vote_stop():
                 self.stopped = True
                 if logger:
                     logger.warning(

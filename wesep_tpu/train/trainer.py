@@ -425,8 +425,25 @@ def make_data_parallel(step_fn, mesh: Mesh, donate_state: bool = True):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch onto the mesh, sharded along axis 0."""
+    """Place a host batch onto the mesh, sharded along axis 0.
+
+    Multi-host: each process passes its LOCAL batch (its own loader's
+    rows — DataList already partitions the shard lists by rank); the
+    global array is assembled from the per-process slices, global rows =
+    local rows x process_count. device_put would instead require every
+    process to hold an identical global batch — r4 multihost drill
+    finding."""
     sharding = NamedSharding(mesh, P("data"))
+    if jax.process_count() > 1:
+        n_proc = jax.process_count()
+
+        def put(x):
+            global_shape = (x.shape[0] * n_proc,) + x.shape[1:]
+            return jax.make_array_from_process_local_data(
+                sharding, np.ascontiguousarray(x), global_shape
+            )
+
+        return jax.tree_util.tree_map(put, batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )
