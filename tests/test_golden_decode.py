@@ -1,10 +1,12 @@
-"""Golden end-to-end decode: reference torch checkpoint -> converter ->
-bin/infer -> waveforms match the reference torch decode.
+"""Golden end-to-end decode battery: reference torch checkpoint ->
+converter -> bin/infer -> waveforms match the reference torch decode,
+for ALL FOUR flagship families (r4 VERDICT #5; round 3 covered only the
+hub BSRNN path).
 
-This is the turnkey quality-run path (VERDICT r1 #6): a user with a
-reference-trained .pt can convert it and decode with identical results,
-so Libri2Mix SI-SNRi measured by this stack is directly comparable with
-the reference toolkit's numbers.
+This is the turnkey quality-run path: a user with a reference-trained
+.pt can convert it and decode with identical results, so Libri2Mix
+SI-SNRi measured by this stack is directly comparable with the
+reference toolkit's numbers.
 """
 
 import io
@@ -26,35 +28,74 @@ from wesep_tpu.data.wav_io import read_wav, wav_bytes  # noqa: E402
 from wesep_tpu.utils.file_utils import write_vec_ark_scp  # noqa: E402
 from wesep_tpu.utils.score import cal_SISNR  # noqa: E402
 
-MODEL_ARGS = dict(
-    sr=16000,
-    win=512,
-    stride=128,
-    feature_dim=16,
-    num_repeat=2,
-    spk_fuse_type="multiply",
-    use_spk_transform=False,
-    multi_fuse=False,
-    joint_training=False,
-    spk_emb_dim=16,
-)
+# (family, reference module.class, shared ctor/model_args, emb_dim)
+FAMILIES = {
+    "BSRNN": (
+        "wesep.models.bsrnn", "BSRNN",
+        dict(sr=16000, win=512, stride=128, feature_dim=16, num_repeat=2,
+             spk_fuse_type="multiply", use_spk_transform=False,
+             multi_fuse=False, joint_training=False, spk_emb_dim=16),
+        16,
+    ),
+    "DPCCN": (
+        "wesep.models.dpccn", "DPCCN",
+        dict(joint_training=False, spk_emb_dim=32,
+             spk_fuse_type="multiply"),
+        32,
+    ),
+    "TFGridNet": (
+        "wesep.models.tfgridnet", "TFGridNet",
+        dict(n_srcs=1, n_fft=128, stride=64, n_layers=2,
+             lstm_hidden_units=32, attn_n_head=4, attn_approx_qk_dim=256,
+             emb_dim=16, emb_ks=4, emb_hs=1, spk_emb_dim=24,
+             spk_fuse_type="multiply", joint_training=False),
+        24,
+    ),
+    "ConvTasNet": (  # SpEx+ layout: multi encoder/decoder
+        "wesep.models.convtasnet", "ConvTasNet",
+        dict(N=16, L=20, B=8, H=16, P=3, X=2, R=2, spk_emb_dim=12,
+             norm="gLN", causal=False, skip_con=False,
+             spk_fuse_type="concatConv", multi_fuse=True,
+             use_spk_transform=False, encoder_type="Multi",
+             decoder_type="Multi", joint_training=False),
+        12,
+    ),
+}
 
 
-def test_converted_checkpoint_decodes_like_reference(monkeypatch, tmp_path):
+def _ref_decode(name, ref, mix, emb):
+    with torch.no_grad():
+        out = ref(torch.from_numpy(mix[None]), torch.from_numpy(emb[None]))
+    # reference output contracts differ: BSRNN-family returns (est,
+    # logits); ConvTasNet returns the est LIST itself (convtasnet.py:218)
+    # and infer takes [0] (reference infer.py:121-122)
+    est = out[0]
+    if isinstance(est, (list, tuple)):
+        est = est[0]
+    return est.numpy()[0]
+
+
+@pytest.mark.parametrize("name", list(FAMILIES))
+def test_converted_checkpoint_decodes_like_reference(
+    monkeypatch, tmp_path, name
+):
     _install_reference(monkeypatch)
-    from wesep.models.bsrnn import BSRNN as RefBSRNN
+    import importlib
+
+    mod_name, cls_name, model_args, emb_dim = FAMILIES[name]
+    RefCls = getattr(importlib.import_module(mod_name), cls_name)
 
     from wesep_tpu.bin.infer import infer
 
     torch.manual_seed(3)
-    ref = RefBSRNN(**{**MODEL_ARGS, "spksInTrain": 4}).eval()
+    ref = RefCls(**{**model_args, "spksInTrain": 4}).eval()
     pt_path = str(tmp_path / "avg_model.pt")
     torch.save({"models": [ref.state_dict()]}, pt_path)
 
     config = {
         "exp_dir": str(tmp_path / "exp"),
-        "model": {"tse_model": "BSRNN"},
-        "model_args": {"tse_model": dict(MODEL_ARGS)},
+        "model": {"tse_model": name},
+        "model_args": {"tse_model": dict(model_args)},
         "data_type": "shard",
         "dataset_args": {"resample_rate": 16000},
         "dataloader_args": {"batch_size": 1},
@@ -85,8 +126,8 @@ def test_converted_checkpoint_decodes_like_reference(monkeypatch, tmp_path):
     rng = np.random.default_rng(0)
     t = 6000
     embeds = {
-        "utt_spkA": (np.eye(2, 16)[0] + 0.01).astype(np.float32),
-        "utt_spkB": (np.eye(2, 16)[1] + 0.01).astype(np.float32),
+        "utt_spkA": (np.eye(2, emb_dim)[0] + 0.01).astype(np.float32),
+        "utt_spkB": (np.eye(2, emb_dim)[1] + 0.01).astype(np.float32),
     }
     _, scp_path = write_vec_ark_scp(str(tmp_path / "embed"), embeds)
     mixes = {}
@@ -96,8 +137,8 @@ def test_converted_checkpoint_decodes_like_reference(monkeypatch, tmp_path):
             s2 = rng.standard_normal(t).astype(np.float32) * 0.2
             mixes[key] = s1 + s2
 
-            def add(name, data):
-                info = tarfile.TarInfo(name)
+            def add(nm, data):
+                info = tarfile.TarInfo(nm)
                 info.size = len(data)
                 tar.addfile(info, io.BytesIO(data))
 
@@ -133,15 +174,13 @@ def test_converted_checkpoint_decodes_like_reference(monkeypatch, tmp_path):
         stem = fname[:-4]
         _, key, tspk = stem.split("-")
         emb = embeds["utt_spkA" if tspk == "T0" else "utt_spkB"]
-        with torch.no_grad():
-            want, _ = ref(
-                torch.from_numpy(mixes[key][None]),
-                torch.from_numpy(emb[None]),
-            )
-        want = want.numpy()[0]
+        want = _ref_decode(name, ref, mixes[key], emb)
         got, sr = read_wav(os.path.join(audio_dir, fname))
         got = np.asarray(got).reshape(-1)
         assert sr == 16000
-        # infer peak-normalizes to 0.9; SI-SNR is scale invariant
-        sisnr = cal_SISNR(got[: len(want)], want)
+        # infer peak-normalizes to 0.9; SI-SNR is scale invariant.
+        # trim to the common length (multi-scale decoders trim to the
+        # shortest scale)
+        n = min(len(got), len(want))
+        sisnr = cal_SISNR(got[:n], want[:n])
         assert sisnr > 30.0, f"{fname}: decode mismatch (SI-SNR {sisnr})"

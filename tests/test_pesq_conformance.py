@@ -83,3 +83,18 @@ def test_golden_scale_frozen():
     assert set(s) == set(GOLDEN)
     for name, want in GOLDEN.items():
         assert abs(s[name] - want) < 0.05, (name, s[name], want)
+
+
+def test_identical_signal_ceiling():
+    """External scale anchor that needs no ITU data: the zero-
+    disturbance ceiling of P.862.2 (wideband) MOS-LQO is 4.6439 — a
+    widely documented property of the ITU reference implementation
+    (e.g. the `pesq` package's wb mode returns 4.6439 for identical
+    inputs). Our independent implementation must land on the same
+    ceiling, anchoring the TOP of the scale to the standard rather
+    than to frozen self-outputs. (The ITU conformance VECTORS are
+    license-gated and unobtainable offline; tests/test_pesq_itu.py
+    auto-activates the full cross-check when the dep appears.)"""
+    x = speech_like()
+    val = float(np.asarray(pesq_batch(x[None], x[None]))[0])
+    assert abs(val - 4.6439) < 2e-3, val

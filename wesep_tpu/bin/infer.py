@@ -167,8 +167,17 @@ def infer(config: str, overrides=None, **kwargs):
     row_sh = NamedSharding(mesh, P("data"))
     rep_sh = NamedSharding(mesh, P())
 
+    def _fwd(v, m, e):
+        est = model.apply(v, m, e, train=False)[0]
+        # multi-scale decoders (SpEx+) return [est1, est2, est3]; decode
+        # uses the short-window estimate like the reference
+        # (/root/reference/wesep/bin/infer.py:121-122 takes outputs[0])
+        if isinstance(est, (list, tuple)):
+            est = est[0]
+        return est
+
     forward = jax.jit(
-        lambda v, m, e: model.apply(v, m, e, train=False)[0],
+        _fwd,
         in_shardings=(rep_sh, row_sh, row_sh),
         out_shardings=row_sh,
     )

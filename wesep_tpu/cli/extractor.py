@@ -83,9 +83,16 @@ class Extractor:
         self.chunk_overlap_sec = 2.0
         self.speaker_feat = model_args.get("spk_feat", False)
         self.joint_training = model_args.get("joint_training", False)
-        self._jit_forward = jax.jit(
-            lambda v, m, e: self.model.apply(v, m, e, train=False)[0]
-        )
+        def _fwd(v, m, e):
+            est = self.model.apply(v, m, e, train=False)[0]
+            # SpEx+ multi-scale decoders return [est1, est2, est3];
+            # decode with the short-window estimate like the reference
+            # (/root/reference/wesep/bin/infer.py:121-122)
+            if isinstance(est, (list, tuple)):
+                est = est[0]
+            return est
+
+        self._jit_forward = jax.jit(_fwd)
 
     def _missing_subtrees(self, configs, loaded):
         import jax

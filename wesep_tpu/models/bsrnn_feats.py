@@ -136,7 +136,15 @@ class BSRNN_Feats(BSRNN):
 
     def _frame_feats(self, wav, train):
         """fbank (win-length frames, no dither) -> CMVN -> speaker-model
-        frame-level features, no-grad (bsrnn_feats.py:411-465)."""
+        frame-level features, no-grad (bsrnn_feats.py:411-465).
+
+        NB: the reference calls compute_fbank WITHOUT num_mel_bins here
+        (bsrnn_feats.py:439-452), i.e. always 80 mels — its tfmap_emb
+        path is only runnable with feat_dim=80 encoders. This
+        generalization uses spk_args feat_dim, which agrees with the
+        reference at every config the reference can run
+        (tests/test_bsrnn_feats.py::test_tfmap_emb_cross_matches_reference).
+        """
         from wesep_tpu.ops.fbank import apply_cmvn, kaldi_fbank
 
         def feats(x):
