@@ -7,11 +7,11 @@ families) to a wesep-tpu bundle.
 Reads the reference's .pt bundle/state_dict, maps the separator core onto
 the flax param tree (wesep_tpu.utils.torch_port), and writes a wesep-tpu
 msgpack checkpoint loadable by bin/infer, the CLI extractor, and the
-serving runtime. Jointly-trained wespeaker ECAPA and ResNet speaker
-branches are detected by state-dict fingerprint and ported too (with BN
+serving runtime. Jointly-trained wespeaker speaker branches — ECAPA,
+ResNet, and CAMPPlus, all three families the reference's joint configs
+name — are detected by state-dict fingerprint and ported too (with BN
 running stats as batch_stats); ECAPA checkpoints run with
-`spk_args: {layout: wespeaker}`. CAMPPlus joints are still skipped with
-a note (PARITY.md known gaps).
+`spk_args: {layout: wespeaker}`.
 """
 
 import argparse
@@ -107,12 +107,24 @@ def main():
             params[scope] = spk_params
             batch_stats = {scope: spk_stats}
             print("ported joint wespeaker-ResNet speaker branch")
+        # wespeaker CAMPPlus fingerprint: the D-TDNN xvector Sequential
+        elif "xvector.tdnn.linear.weight" in spk_sd:
+            from wesep_tpu.utils.torch_port import (
+                port_wespeaker_campplus_state_dict,
+            )
+
+            spk_params, spk_stats = port_wespeaker_campplus_state_dict(
+                spk_sd
+            )
+            params[scope] = spk_params
+            batch_stats = {scope: spk_stats}
+            print("ported joint wespeaker-CAMPPlus speaker branch")
         else:
             print(
                 "NOTE: joint speaker-encoder weights present in the source "
-                "but not a wespeaker ECAPA/ResNet layout; use spk_feat "
-                "inference with a separately trained encoder or retrain "
-                "the joint branch."
+                "but not a wespeaker ECAPA/ResNet/CAMPPlus layout; use "
+                "spk_feat inference with a separately trained encoder or "
+                "retrain the joint branch."
             )
     save_checkpoint(
         args.out, [params],

@@ -12,10 +12,13 @@ BSRNN_Feats (tfmap_* BN widths + cross-attention attenFuse stack),
 DPCCN (dense U-Net + TCN + pyramid pooling), TF-GridNet
 (conv embed, GridNet blocks, attention norms, deconv), and
 ConvTasNet/SpEx+ (multi-scale encoder/decoders, fuse+TCN repeats), and
-the jointly-trained wespeaker ECAPA speaker branch
+the jointly-trained wespeaker speaker branches: ECAPA
 (`port_wespeaker_ecapa_state_dict`, targets models.speaker.ecapa_ws —
-select with `spk_args: {layout: wespeaker}`). Other wespeaker encoder
-families (ResNet/CAMPPlus joints) still go through `spk_map` hooks.
+select with `spk_args: {layout: wespeaker}`), ResNet
+(`port_wespeaker_resnet_state_dict`) and CAMPPlus
+(`port_wespeaker_campplus_state_dict`) — all three wespeaker families
+the reference's joint configs name, auto-detected by
+tools/convert_torch_checkpoint.py.
 """
 
 from typing import Callable, Dict, Optional, Tuple
@@ -30,6 +33,7 @@ __all__ = [
     "port_convtasnet_state_dict",
     "port_wespeaker_ecapa_state_dict",
     "port_wespeaker_resnet_state_dict",
+    "port_wespeaker_campplus_state_dict",
     "load_torch_state_dict",
 ]
 
@@ -750,3 +754,111 @@ def stack_gridnet_blocks(params: dict) -> dict:
     out = {k: v for k, v in params.items() if not k.startswith("block_")}
     out["blocks"] = {"block": stacked}
     return out
+
+
+# ---- wespeaker CAMPPlus joint speaker branch (wespeaker/models/campplus.py,
+# spk_model 'CAMPPlus' in the reference's joint configs,
+# examples/voxceleb1/v2/confs/bsrnn_online.yaml:69-75) -------------------
+
+
+def _convk_sd(sd, prefix, bias=False):
+    """torch Conv1d [out, in, k] -> common.Conv1d (non-depthwise: params
+    live in the inner nn.Conv scope 'Conv_0') kernel [k, in, out]."""
+    out = {"kernel": sd[f"{prefix}.weight"].transpose(2, 1, 0)}
+    if bias:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return {"Conv_0": out}
+
+
+def port_wespeaker_campplus_state_dict(
+    spk_sd: Dict[str, np.ndarray],
+) -> Tuple[dict, dict]:
+    """wespeaker CAMPPlus state_dict (keys relative to the encoder) ->
+    (params, batch_stats) for models.speaker.campplus.CAMPPlus.
+
+    The flax model flattens the FCM output C-major natively (see
+    campplus.FCM), so unlike the ResNet port no _cf_perm permutation is
+    needed; the map is purely structural: FCM res blocks (numbered
+    shortcut Sequentials), the xvector Sequential's tdnn / blockN.tdnndM
+    (1-indexed) / transitN / out_nonlinear stages, and the dense head
+    (1x1 no bias + affine-free BN)."""
+    params: dict = {}
+    stats: dict = {}
+
+    head_p: dict = {}
+    head_s: dict = {}
+    head_p["conv1"] = _conv2d_nobias_sd(spk_sd, "head.conv1")
+    head_p["bn1"], head_s["bn1"] = _bn2d_sd(spk_sd, "head.bn1")
+    for stage in (1, 2):
+        for i in (0, 1):
+            base = f"head.layer{stage}.{i}"
+            blk_p: dict = {}
+            blk_s: dict = {}
+            for j in (1, 2):
+                blk_p[f"conv{j}"] = _conv2d_nobias_sd(spk_sd, f"{base}.conv{j}")
+                blk_p[f"bn{j}"], blk_s[f"bn{j}"] = _bn2d_sd(
+                    spk_sd, f"{base}.bn{j}"
+                )
+            if f"{base}.shortcut.0.weight" in spk_sd:
+                blk_p["shortcut_conv"] = _conv2d_nobias_sd(
+                    spk_sd, f"{base}.shortcut.0"
+                )
+                blk_p["shortcut_bn"], blk_s["shortcut_bn"] = _bn2d_sd(
+                    spk_sd, f"{base}.shortcut.1"
+                )
+            head_p[f"layer{stage}_{i}"] = blk_p
+            head_s[f"layer{stage}_{i}"] = blk_s
+    head_p["conv2"] = _conv2d_nobias_sd(spk_sd, "head.conv2")
+    head_p["bn2"], head_s["bn2"] = _bn2d_sd(spk_sd, "head.bn2")
+    params["head"] = head_p
+    stats["head"] = head_s
+
+    params["tdnn"] = _convk_sd(spk_sd, "xvector.tdnn.linear")
+    params["tdnn_bn"], stats["tdnn_bn"] = _bn1d_sd(
+        spk_sd, "xvector.tdnn.nonlinear.batchnorm"
+    )
+    for stage in (1, 2, 3):
+        i = 0
+        while f"xvector.block{stage}.tdnnd{i + 1}.linear1.weight" in spk_sd:
+            base = f"xvector.block{stage}.tdnnd{i + 1}"
+            lay_p: dict = {}
+            lay_s: dict = {}
+            lay_p["bn1"], lay_s["bn1"] = _bn1d_sd(
+                spk_sd, f"{base}.nonlinear1.batchnorm"
+            )
+            lay_p["conv1"] = _convk_sd(spk_sd, f"{base}.linear1")
+            lay_p["bn2"], lay_s["bn2"] = _bn1d_sd(
+                spk_sd, f"{base}.nonlinear2.batchnorm"
+            )
+            lay_p["cam"] = {
+                "linear_local": _convk_sd(
+                    spk_sd, f"{base}.cam_layer.linear_local"
+                ),
+                "linear1": _convk_sd(
+                    spk_sd, f"{base}.cam_layer.linear1", bias=True
+                ),
+                "linear2": _convk_sd(
+                    spk_sd, f"{base}.cam_layer.linear2", bias=True
+                ),
+            }
+            params[f"block{stage}_layer{i}"] = lay_p
+            stats[f"block{stage}_layer{i}"] = lay_s
+            i += 1
+        params[f"transit{stage}_bn"], stats[f"transit{stage}_bn"] = _bn1d_sd(
+            spk_sd, f"xvector.transit{stage}.nonlinear.batchnorm"
+        )
+        params[f"transit{stage}_conv"] = _convk_sd(
+            spk_sd, f"xvector.transit{stage}.linear"
+        )
+    params["out_bn"], stats["out_bn"] = _bn1d_sd(
+        spk_sd, "xvector.out_nonlinear.batchnorm"
+    )
+    params["dense"] = {
+        "kernel": spk_sd["xvector.dense.linear.weight"][:, :, 0].T
+    }
+    # DenseLayer's batchnorm_ is affine-free: stats only
+    stats["dense_bn"] = {
+        "mean": spk_sd["xvector.dense.nonlinear.batchnorm.running_mean"],
+        "var": spk_sd["xvector.dense.nonlinear.batchnorm.running_var"],
+    }
+    return params, stats
