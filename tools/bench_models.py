@@ -56,6 +56,14 @@ ENVELOPES = {
     ),
 }
 
+# patch-matmul conv variant (ops/patch_conv.py): lane-packs P adjacent
+# freq outputs so the dense 16-64-channel convs fill the 128-lane MXU
+ENVELOPES["dpccn_patch"] = dict(
+    model="DPCCN",
+    args={**ENVELOPES["dpccn"]["args"], "conv_impl": "patch"},
+    batch=8,
+)
+
 # scan_layers variants: the 6 blocks compile as ONE lax.scan body
 # (~6x smaller HLO), sized to fit batch-4/8 remat-free graphs through the
 # relay's compile helper (VERDICT round-2 #8)

@@ -54,12 +54,18 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
 
 
 class Conv2dBlock(nn.Module):
-    """conv2d -> ELU -> InstanceNorm2d (convs.py:28-47). NHWC."""
+    """conv2d -> ELU -> InstanceNorm2d (convs.py:28-47). NHWC.
+
+    conv_impl="patch" routes stride-1 3x3 convs through the lane-packed
+    block-Toeplitz matmul (ops/patch_conv.py; same param names/shapes,
+    so checkpoints interchange): the dense convs' 16-64 output channels
+    occupy <=50% of the MXU's 128 lanes in XLA's native conv."""
 
     out_dims: int
     kernel_size: Tuple[int, int] = (3, 3)
     stride: Tuple[int, int] = (1, 1)
     padding: Tuple[int, int] = (1, 1)
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
@@ -67,16 +73,26 @@ class Conv2dBlock(nn.Module):
         init = torch_linear_init(
             in_ch * self.kernel_size[0] * self.kernel_size[1]
         )
-        y = nn.Conv(
-            self.out_dims,
-            self.kernel_size,
-            strides=self.stride,
-            padding=[(p, p) for p in self.padding],
-            kernel_init=init,
-            bias_init=init,
-            name="conv",
-            dtype=x.dtype,  # avoid f32 promotion against f32 params
-        )(x)
+        if (
+            self.conv_impl == "patch"
+            and self.kernel_size == (3, 3)
+            and tuple(self.stride) == (1, 1)
+            and tuple(self.padding) == (1, 1)
+        ):
+            from wesep_tpu.ops.patch_conv import PatchConv3x3
+
+            y = PatchConv3x3(self.out_dims, name="conv")(x)
+        else:
+            y = nn.Conv(
+                self.out_dims,
+                self.kernel_size,
+                strides=self.stride,
+                padding=[(p, p) for p in self.padding],
+                kernel_init=init,
+                bias_init=init,
+                name="conv",
+                dtype=x.dtype,  # avoid f32 promotion against f32 params
+            )(x)
         return instance_norm(nn.elu(y))
 
 
@@ -125,15 +141,16 @@ class DenseBlock(nn.Module):
     in_dims: int
     out_dims: int
     mode: str = "enc"
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
         outs = [x]
         for i in range(5):
             out_d = self.in_dims if i < 4 else self.out_dims
-            y = Conv2dBlock(out_d, name=f"conv{i + 1}")(
-                jnp.concatenate(outs, axis=-1)
-            )
+            y = Conv2dBlock(
+                out_d, conv_impl=self.conv_impl, name=f"conv{i + 1}"
+            )(jnp.concatenate(outs, axis=-1))
             outs.append(y)
         return outs[-1]
 
@@ -201,6 +218,9 @@ class DPCCN(nn.Module):
     spk_args: Optional[dict] = None
     spk_feat: bool = False
     feat_type: str = "consistent"
+    # "patch" routes the dense stride-1 3x3 convs through the
+    # lane-packed block-Toeplitz matmul (ops/patch_conv.py)
+    conv_impl: str = "xla"
 
     def _spk_embedding(self, enroll, train: bool):
         """Shared enrollment branch (dpccn.py:225-243 == bsrnn.py:341-357)."""
@@ -251,7 +271,8 @@ class DPCCN(nn.Module):
             kernel_init=init0, bias_init=init0, name="conv2d",
             dtype=x.dtype,
         )(x)
-        out = DenseBlock(16, 16, "enc", name="enc0")(out)
+        out = DenseBlock(16, 16, "enc", conv_impl=self.conv_impl,
+                         name="enc0")(out)
 
         embed, spk_logits = self._spk_embedding(enroll, train)
         if self.use_spk_transform:
@@ -274,7 +295,8 @@ class DPCCN(nn.Module):
                 32, self.kernel_size, self.stride2, self.paddings,
                 name=f"enc{i + 1}_conv",
             )(out)
-            out = DenseBlock(32, 32, "enc", name=f"enc{i + 1}_dense")(out)
+            out = DenseBlock(32, 32, "enc", conv_impl=self.conv_impl,
+                             name=f"enc{i + 1}_dense")(out)
             skips.append(out)
         for j, ch in enumerate((64, 128, 384)):
             out = Conv2dBlock(
@@ -302,14 +324,16 @@ class DPCCN(nn.Module):
                 self.output_padding, name=f"dec{j}",
             )(jnp.concatenate([skips[j], out], axis=-1))
         for i in range(4):
-            out = DenseBlock(32, 64, "dec", name=f"dec{3 + i}_dense")(
+            out = DenseBlock(32, 64, "dec", conv_impl=self.conv_impl,
+                             name=f"dec{3 + i}_dense")(
                 jnp.concatenate([skips[3 + i], out], axis=-1)
             )
             out = ConvTrans2dBlock(
                 32 if i != 3 else 16, self.kernel_size, self.stride2,
                 self.paddings, self.output_padding, name=f"dec{3 + i}_conv",
             )(out)
-        out = DenseBlock(16, 32, "dec", name="dec7")(
+        out = DenseBlock(16, 32, "dec", conv_impl=self.conv_impl,
+                         name="dec7")(
             jnp.concatenate([skips[7], out], axis=-1)
         )
 
