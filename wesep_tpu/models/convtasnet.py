@@ -106,6 +106,99 @@ def _gln_conv1x1_applied(y, conv, a, caff):
 __all__ = ["ConvTasNet"]
 
 
+def _tcn_kernel_ok(x, conv_channels):
+    """Route the block through the fused Pallas kernel
+    (ops/pallas_tcn.tcn_block_gln)? Needs Pallas (interpret off-TPU is
+    used by tests via the same path), and on a real chip the two
+    full-stream VMEM scratches must fit (bf16 at the SpEx+ envelope
+    ~11 MB; f32 at T=4799 would not — falls back to the XLA
+    fuse_gln path)."""
+    import os
+
+    flag = os.environ.get("WESEP_TCN_PALLAS", "1")
+    if flag == "0":
+        return False
+    from wesep_tpu.ops.pallas_tcn import _RC, _ceil_to, pallas_available
+
+    on_tpu = pallas_available()
+    if not on_tpu and flag != "force":
+        # off-TPU the kernel runs in (slow) interpret mode — only the
+        # dedicated parity tests opt in
+        return False
+    t_len = x.shape[1]
+    scratch = 2 * (_ceil_to(t_len, _RC) + 512) * conv_channels
+    scratch *= x.dtype.itemsize
+    if on_tpu and scratch > 12 * 1024 * 1024:
+        return False
+    return True
+
+
+def _tcn_kernel_apply(block, x, embed=None):
+    """Shared fused-kernel path for TCNBlock / FuseTCNBlock.
+
+    Creates the SAME submodules (names, param shapes) as the XLA paths
+    via zero-cost dummy calls (XLA dead-code-eliminates them), then
+    hands the raw params to ops/pallas_tcn.tcn_block_gln. For
+    FuseTCNBlock, concat([x, e]) @ W1 == x @ W1[:C] + e @ W1[C:], so
+    the embedding folds into the per-batch effective bias b1_eff."""
+    from wesep_tpu.models.common import GlobalLayerNorm, PReLU, norm_auto_name
+    from wesep_tpu.ops.pallas_tcn import tcn_block_gln
+
+    in_ch = x.shape[-1]
+    h = block.conv_channels
+    mm_ch = in_ch + (embed.shape[-1] if embed is not None else 0)
+    dummy = lambda c: jnp.zeros((1, 1, c), x.dtype)  # noqa: E731
+
+    conv1 = Conv1d(h, 1, name="Conv1d_0")
+    _ = conv1(dummy(mm_ch))
+    w1_full = conv1.variables["params"]["Conv_0"]["kernel"][0]
+    b1 = conv1.variables["params"]["Conv_0"]["bias"]
+    prelu0 = PReLU(name="PReLU_0")
+    _ = prelu0(dummy(1))
+    p0 = prelu0.get_variable("params", "alpha")[0]
+    gln0 = GlobalLayerNorm(return_affine=True,
+                           name=norm_auto_name("gLN", 0))
+    _ = gln0(dummy(h))
+    pad = (
+        block.dilation * (block.kernel_size - 1) // 2
+        if not block.causal
+        else block.dilation * (block.kernel_size - 1)
+    )
+    dconv = Conv1d(
+        h, block.kernel_size, dilation=block.dilation, groups=h,
+        padding=[(pad, 0)] if block.causal else pad, name="Conv1d_1",
+    )
+    _ = dconv(dummy(h))
+    kd = dconv.get_variable("params", "kernel")[:, 0, :]
+    bd = dconv.get_variable("params", "bias")
+    prelu1 = PReLU(name="PReLU_1")
+    _ = prelu1(dummy(1))
+    p1 = prelu1.get_variable("params", "alpha")[0]
+    gln1 = GlobalLayerNorm(return_affine=True,
+                           name=norm_auto_name("gLN", 1))
+    _ = gln1(dummy(h))
+    conv2 = Conv1d(in_ch, 1, name="Conv1d_2")
+    _ = conv2(dummy(h))
+    w2 = conv2.variables["params"]["Conv_0"]["kernel"][0]
+    b2 = conv2.variables["params"]["Conv_0"]["bias"]
+
+    b1_eff = jnp.broadcast_to(b1[None, :], (x.shape[0], h))
+    if embed is not None:
+        b1_eff = b1_eff + embed @ w1_full[in_ch:]
+    w1 = w1_full[:in_ch]
+    # the kernel includes the residual: y = x + conv2(...)
+    return tcn_block_gln(
+        x, b1_eff, w1, p0, kd, bd,
+        gln0.get_variable("params", "weight"),
+        gln0.get_variable("params", "bias"),
+        p1, w2, b2,
+        gln1.get_variable("params", "weight"),
+        gln1.get_variable("params", "bias"),
+        block.dilation, block.kernel_size, block.causal,
+        GlobalLayerNorm.eps,
+    )
+
+
 class ConvTranspose1d(nn.Module):
     """Transposed 1-D conv on [B, T, C] (VALID padding = torch padding=0)."""
 
@@ -146,9 +239,19 @@ class TCNBlock(nn.Module):
     # commute gLN past the depthwise conv (see _gln_dconv_commuted);
     # gLN only — cLN stats vary over time and do not commute
     fuse_gln: bool = False
+    # whole-block fused Pallas kernel (ops/pallas_tcn.py): identical
+    # param tree, HBM sees only read-x/write-y per block
+    pallas_tcn: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if (
+            self.pallas_tcn
+            and self.norm == "gLN"
+            and not self.skip_con
+            and _tcn_kernel_ok(x, self.conv_channels)
+        ):
+            return _tcn_kernel_apply(self, x)
         in_ch = x.shape[-1]
         pad = (
             self.dilation * (self.kernel_size - 1) // 2
@@ -208,9 +311,17 @@ class FuseTCNBlock(nn.Module):
     norm: str = "cLN"
     causal: bool = False
     fuse_gln: bool = False  # see TCNBlock.fuse_gln
+    pallas_tcn: bool = False  # see TCNBlock.pallas_tcn
+    skip_con: bool = False  # (unsupported here; for _tcn_kernel_apply)
 
     @nn.compact
     def __call__(self, x, embed):
+        if (
+            self.pallas_tcn
+            and self.norm == "gLN"
+            and _tcn_kernel_ok(x, self.conv_channels)
+        ):
+            return _tcn_kernel_apply(self, x, embed=embed)
         in_ch = x.shape[-1]
         tile = jnp.broadcast_to(
             embed[:, None, :], x.shape[:-1] + (embed.shape[-1],)
@@ -269,6 +380,7 @@ class TCNStack(nn.Module):
     # saving/reloading the [B, T', H] intermediates
     remat: bool = False
     fuse_gln: bool = False  # see TCNBlock.fuse_gln
+    pallas_tcn: bool = False  # see TCNBlock.pallas_tcn
 
     @nn.compact
     def __call__(self, x):
@@ -284,6 +396,7 @@ class TCNStack(nn.Module):
                     causal=self.causal,
                     skip_con=self.skip_con,
                     fuse_gln=self.fuse_gln,
+                    pallas_tcn=self.pallas_tcn,
                 )
                 if self.skip_con:
                     skip, x = blk(x)
@@ -430,6 +543,13 @@ class ConvTasNet(nn.Module):
     # Default ON: measured 133.6 -> 126.4 ms/step (batch 8 x 3 s, v5e)
     # with identical param tree, so checkpoints are unaffected.
     fuse_gln: bool = True
+    # whole-block fused Pallas TCN kernel (ops/pallas_tcn.py): the
+    # stream stays VMEM-resident per block, HBM sees only read-x/
+    # write-y (fwd) and read-x/read-dy/write-dx (bwd). Identical param
+    # tree; exact parity tests/test_pallas_tcn.py. Applies on TPU when
+    # norm == 'gLN' and skip_con is off; falls back to fuse_gln
+    # otherwise (WESEP_TCN_PALLAS=0 disables).
+    pallas_tcn: bool = True
 
     def _activation(self, x):
         if self.activate == "relu":
@@ -501,6 +621,7 @@ class ConvTasNet(nn.Module):
                         norm=self.norm,
                         causal=self.causal,
                         fuse_gln=self.fuse_gln,
+                        pallas_tcn=self.pallas_tcn,
                         name=f"fuse_{r}",
                     )(x, embed)
                     x = TCNStack(
@@ -514,6 +635,7 @@ class ConvTasNet(nn.Module):
                         start_dilation=1,
                         remat=self.remat,
                         fuse_gln=self.fuse_gln,
+                        pallas_tcn=self.pallas_tcn,
                         name=f"tcn_{r}",
                     )(x)
                 else:
@@ -532,6 +654,7 @@ class ConvTasNet(nn.Module):
                         skip_con=self.skip_con,
                         remat=self.remat,
                         fuse_gln=self.fuse_gln,
+                        pallas_tcn=self.pallas_tcn,
                         name=f"tcn_{r}",
                     )(x)
         else:
