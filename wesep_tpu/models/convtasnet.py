@@ -312,7 +312,6 @@ class FuseTCNBlock(nn.Module):
     causal: bool = False
     fuse_gln: bool = False  # see TCNBlock.fuse_gln
     pallas_tcn: bool = False  # see TCNBlock.pallas_tcn
-    skip_con: bool = False  # (unsupported here; for _tcn_kernel_apply)
 
     @nn.compact
     def __call__(self, x, embed):
