@@ -24,4 +24,51 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the fast suite's wall time is ~90%
+# CPU compiles of big train-step graphs (VERDICT r3 #9); cached repeat
+# runs cut it severalfold. Safe across pytest-xdist workers (the cache
+# is content-addressed files + atomic rename). Set WESEP_TPU_NO_JAX_CACHE=1
+# to measure cold-compile times.
+if not os.environ.get("WESEP_TPU_NO_JAX_CACHE"):
+    _cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache",
+    )
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    # subprocess-based tests (multihost workers) opt in via this env
+    os.environ["WESEP_TEST_JAX_CACHE"] = _cache
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# jit every flax Module.init in tests: eager init dispatches thousands
+# of tiny CPU ops (DPCCN: 26 s eager vs ~5 s traced+cached; CAMPPlus'
+# 52 dense layers similar) and is the single largest fast-suite cost
+# after XLA compiles. init is pure, so jit is semantically identical;
+# non-array args fall back to eager. Product code already jits its own
+# init (train/trainer.init_train_state).
+import numpy as _np  # noqa: E402
+
+import flax.linen as _fnn  # noqa: E402
+
+_eager_init = _fnn.Module.init
+
+
+def _jitted_init(self, rngs, *args, **kwargs):
+    def _is_arr(v):
+        return isinstance(v, (jax.Array, _np.ndarray))
+
+    if not all(_is_arr(a) for a in args):
+        return _eager_init(self, rngs, *args, **kwargs)
+    static = tuple(k for k, v in kwargs.items() if not _is_arr(v))
+    try:
+        return jax.jit(
+            lambda rngs, *a, **kw: _eager_init(self, rngs, *a, **kw),
+            static_argnames=static,
+        )(rngs, *args, **kwargs)
+    except Exception:
+        return _eager_init(self, rngs, *args, **kwargs)
+
+
+_fnn.Module.init = _jitted_init

@@ -218,7 +218,7 @@ def test_bsrnn_init_and_grad():
         est, _ = model.apply({"params": p}, mix, emb, train=True)
         return jnp.mean(si_sdr_loss(est, mix * 0.5))
 
-    g = jax.grad(loss_fn)(params, mix, emb)
+    g = jax.jit(jax.grad(loss_fn))(params, mix, emb)
     leaves = jax.tree_util.tree_leaves(g)
     assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
     assert any(bool(jnp.any(l != 0)) for l in leaves)

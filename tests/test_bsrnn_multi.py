@@ -91,7 +91,7 @@ def test_ssa_gradients_flow_through_both_passes():
             si_sdr_loss(self_s, mix * 0.5)
         )
 
-    g = jax.grad(loss_fn)(variables["params"])
+    g = jax.jit(jax.grad(loss_fn))(variables["params"])
     leaves = jax.tree_util.tree_leaves(g)
     assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
     assert any(bool(jnp.any(l != 0)) for l in leaves)

@@ -56,7 +56,9 @@ def test_dpccn_grad_finite():
         est, _ = model.apply({"params": p}, mix, emb, train=True)
         return jnp.mean(si_sdr_loss(est, mix * 0.5))
 
-    g = jax.grad(loss_fn)(params)
+    # jitted: eager grad dispatches the whole U-Net op-by-op on the
+    # CPU harness (~2 min); compiled it is seconds and persistently cached
+    g = jax.jit(jax.grad(loss_fn))(params)
     assert all(
         bool(jnp.all(jnp.isfinite(l)))
         for l in jax.tree_util.tree_leaves(g)

@@ -25,6 +25,14 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 import jax
 jax.config.update("jax_platforms", "cpu")
+_cache = None  # cache disabled in workers: XLA:CPU AOT entries record
+# machine features ("prefer-no-scatter") the loader flags as unsupported
+# on re-load; under suite load a worker loading them can die (SIGILL),
+# which the coordination service propagates as a shutdown-barrier kill
+if _cache:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_cpu_collectives_implementation", "gloo")
 proc_id = int(sys.argv[1])
 coord = sys.argv[2]
@@ -32,6 +40,12 @@ jax.distributed.initialize(
     coordinator_address=coord, num_processes=2, process_id=proc_id
 )
 assert jax.process_count() == 2, jax.process_count()
+# establish the global gloo communicator while both processes are still
+# in lockstep: gloo context init has a 30 s rendezvous, and the train-
+# step compile below can skew the workers past it under CPU contention
+# (the -n 4 suite harness)
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices("gloo-warmup")
 assert len(jax.devices()) == 4, jax.devices()  # 2 local x 2 processes
 
 import numpy as np
@@ -95,6 +109,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.xdist_group("subproc")
 def test_two_process_data_parallel(tmp_path):
     coord = f"127.0.0.1:{_free_port()}"
     script = tmp_path / "worker.py"

@@ -26,6 +26,10 @@ import yaml
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# run all subprocess-spawning tests on ONE xdist worker: under -n 4
+# they oversubscribe the 4-core harness and the gloo workers time out
+pytestmark = pytest.mark.xdist_group("subproc")
+
 WORKER = r"""
 import os, sys, threading, signal
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -38,6 +42,14 @@ os.environ["WESEP_NUM_PROCESSES"] = "2"
 os.environ["WESEP_PROCESS_ID"] = str(proc_id)
 import jax
 jax.config.update("jax_platforms", "cpu")
+_cache = None  # cache disabled in workers: XLA:CPU AOT entries record
+# machine features ("prefer-no-scatter") the loader flags as unsupported
+# on re-load; under suite load a worker loading them can die (SIGILL),
+# which the coordination service propagates as a shutdown-barrier kill
+if _cache:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_cpu_collectives_implementation", "gloo")
 from wesep_tpu.bin.train import train
 ckpt = None

@@ -4,9 +4,14 @@ import io
 import tarfile
 
 import numpy as np
+import pytest
 
 from wesep_tpu.data.wav_io import wav_bytes
 
+
+# run all subprocess-spawning tests on ONE xdist worker: under -n 4
+# they oversubscribe the 4-core harness and the gloo workers time out
+pytestmark = pytest.mark.xdist_group("subproc")
 
 def _shard(path, prefix, n=8):
     rng = np.random.default_rng(0)

@@ -154,9 +154,9 @@ def test_model_route_grads(monkeypatch):
         ests = m.apply(v, mix, emb, train=False)[0]
         return sum(jnp.sum(e**2) for e in ests)
 
-    g_x = jax.grad(loss, argnums=(0, 1))(v, emb)
+    g_x = jax.jit(jax.grad(loss, argnums=(0, 1)))(v, emb)
     monkeypatch.setenv("WESEP_TCN_PALLAS", "force")
-    g_k = jax.grad(loss, argnums=(0, 1))(v, emb)
+    g_k = jax.jit(jax.grad(loss, argnums=(0, 1)))(v, emb)
     for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_k)):
         scale = float(jnp.abs(a).max()) + 1e-6
         np.testing.assert_allclose(

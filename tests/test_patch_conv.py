@@ -68,7 +68,7 @@ def test_dpccn_conv_impl_patch_checkpoint_interchange():
 
     args = dict(spk_emb_dim=16, win=512, stride=128, joint_training=False)
     rng = np.random.default_rng(1)
-    mix = jnp.asarray(rng.standard_normal((1, 8000)), jnp.float32) * 0.1
+    mix = jnp.asarray(rng.standard_normal((1, 4000)), jnp.float32) * 0.1
     emb = jnp.asarray(rng.standard_normal((1, 16)), jnp.float32)
     m_x = get_model("DPCCN")(**args)
     m_p = get_model("DPCCN")(**args, conv_impl="patch")

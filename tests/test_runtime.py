@@ -19,7 +19,14 @@ RUNTIME = os.path.join(REPO, "runtime")
 def runtime_build(tmp_path_factory):
     if shutil.which("cmake") is None or shutil.which("g++") is None:
         pytest.skip("no C++ toolchain")
-    build = str(tmp_path_factory.mktemp("rt_build"))
+    # reuse a persistent build dir (runtime/build/ is gitignored) so
+    # repeat suite runs only recompile what changed — the cold cmake +
+    # g++ build is ~50 s of the fast suite
+    if os.environ.get("WESEP_TPU_NO_BUILD_CACHE") == "1":
+        build = str(tmp_path_factory.mktemp("rt_build"))
+    else:
+        build = os.path.join(RUNTIME, "build", "test_build")
+        os.makedirs(build, exist_ok=True)
     cfg = subprocess.run(
         ["cmake", "-B", build, "-S", RUNTIME, "-G", "Ninja"]
         if shutil.which("ninja")

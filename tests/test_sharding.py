@@ -270,3 +270,33 @@ def test_train_accum_grad_mesh_parity(tmp_path):
         jax.tree_util.tree_leaves(params[2]),
     ):
         np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n", [16, 32])
+def test_graft_dryrun_compile_scales(n):
+    """dryrun_multichip at 16/32 virtual devices (r4 VERDICT #8: catch
+    compile-scaling surprises beyond the driver's 8-device run). Needs a
+    fresh process: the virtual device count is fixed at backend init."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n}"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "import __graft_entry__ as g;"
+        f"g.dryrun_multichip({n});"
+        "print('DRYRUN_OK')"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=repo,
+        capture_output=True, text=True, timeout=1500,
+    )
+    assert res.returncode == 0 and "DRYRUN_OK" in res.stdout, (
+        res.stdout[-2000:] + res.stderr[-2000:]
+    )

@@ -22,7 +22,11 @@ def _feats(b=2, t=150, f=80, seed=0):
         ("ResNet18", {"embed_dim": 128, "two_emb_layer": True}, 128),
         ("ECAPA_TDNN_GLOB_c512", {"embed_dim": 192,
                                   "pooling_func": "ASTP"}, 192),
-        ("CAMPPlus", {"embed_dim": 192}, 192),
+        # reduced stage plan: same structure (multi-layer dense blocks,
+        # all three dilations, transits) at 8 instead of 52 layers —
+        # the full-width topology is pinned by tests/test_campplus_ws.py
+        ("CAMPPlus", {"embed_dim": 192,
+                      "stages": ((3, 1), (3, 2), (2, 2))}, 192),
     ],
 )
 def test_speaker_model_shapes(name, kwargs, embed):

@@ -76,7 +76,7 @@ def test_tfgridnet_grad_finite():
         est, _ = model.apply({"params": p}, mix, emb, train=True)
         return jnp.mean(si_sdr_loss(est, mix * 0.5))
 
-    g = jax.grad(loss_fn)(params)
+    g = jax.jit(jax.grad(loss_fn))(params)
     assert all(
         bool(jnp.all(jnp.isfinite(l)))
         for l in jax.tree_util.tree_leaves(g)

@@ -127,6 +127,14 @@ def train(config: str, checkpoint=None, overrides=None, **kwargs):
                 int(os.environ["WESEP_PROCESS_ID"]) if coord else None
             ),
         )
+        # establish the cross-host collective context while the
+        # processes are still in lockstep: the context rendezvous is
+        # bounded (~30 s for gloo / the TPU launch barrier) and the
+        # train-step compile below can skew hosts past it (one host
+        # hitting a warm compilation cache while another compiles cold)
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("wesep-train-startup")
     setup_compilation_cache()
 
     configs = parse_config_or_kwargs(config, **kwargs)
