@@ -64,6 +64,13 @@ ENVELOPES["dpccn_patch"] = dict(
     batch=8,
 )
 
+# fused Pallas conv+ELU+IN blocks (ops/pallas_conv2d.py)
+ENVELOPES["dpccn_pallas"] = dict(
+    model="DPCCN",
+    args={**ENVELOPES["dpccn"]["args"], "conv_impl": "pallas"},
+    batch=8,
+)
+
 # scan_layers variants: the 6 blocks compile as ONE lax.scan body
 # (~6x smaller HLO), sized to fit batch-4/8 remat-free graphs through the
 # relay's compile helper (VERDICT round-2 #8)

@@ -28,6 +28,17 @@ from wesep_tpu.ops.stft import hann_window, istft, stft
 __all__ = ["DPCCN"]
 
 
+def _pallas_ok():
+    import os
+
+    flag = os.environ.get("WESEP_CONV2D_PALLAS", "1")
+    if flag == "0":
+        return False
+    from wesep_tpu.ops.pallas_conv2d import pallas_available
+
+    return pallas_available() or flag == "force"
+
+
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """torch InstanceNorm2d/1d defaults: per-(sample, channel) over spatial
     dims, NO affine params. x: [B, *spatial, C].
@@ -73,12 +84,34 @@ class Conv2dBlock(nn.Module):
         init = torch_linear_init(
             in_ch * self.kernel_size[0] * self.kernel_size[1]
         )
-        if (
-            self.conv_impl == "patch"
-            and self.kernel_size == (3, 3)
+        plain3x3 = (
+            self.kernel_size == (3, 3)
             and tuple(self.stride) == (1, 1)
             and tuple(self.padding) == (1, 1)
+        )
+        # the fused kernel wins only at narrow inputs (measured r4 shape
+        # matrix, BASELINE.md: 1.75x at Ci=16, 1.18x at 32, 0.3-0.5x at
+        # Ci>=80 where the (P+2)/3 FLOP inflation and small T-chunks
+        # starve the MXU) — route wide-concat convs to XLA
+        if (
+            self.conv_impl == "pallas" and plain3x3 and in_ch <= 32
+            and _pallas_ok()
         ):
+            # fused conv+ELU+IN Pallas kernel: the post-ELU stream stays
+            # in VMEM, so the IN stats/normalize passes cost no HBM
+            # traffic (ops/pallas_conv2d.py). Identical param tree via a
+            # dummy-call-bound nn.Conv.
+            from wesep_tpu.ops.pallas_conv2d import conv2d_block_in
+
+            conv = nn.Conv(
+                self.out_dims, self.kernel_size, padding=[(1, 1), (1, 1)],
+                kernel_init=init, bias_init=init, name="conv",
+            )
+            _ = conv(jnp.zeros((1, 1, 1, in_ch), x.dtype))
+            kernel = conv.get_variable("params", "kernel")
+            bias = conv.get_variable("params", "bias")
+            return conv2d_block_in(x, kernel.astype(x.dtype), bias)
+        if self.conv_impl == "patch" and plain3x3:
             from wesep_tpu.ops.patch_conv import PatchConv3x3
 
             y = PatchConv3x3(self.out_dims, name="conv")(x)
