@@ -41,7 +41,7 @@ embedding contribution folds into a per-batch effective bias b1_eff.
 Stats and all reductions accumulate in f32 (sums taken over the
 compute-dtype stream, matching the XLA path); matmuls run in the
 compute dtype on the MXU with f32 accumulation. Per-chunk tiles are
-256 rows (bf16 sublane-aligned, far under the proven Mosaic caps of
+512 rows (bf16 sublane-aligned, under the proven Mosaic caps of
 ops/pallas_lstm.py).
 
 Gating: models/convtasnet.py routes TCNBlock/FuseTCNBlock here when
