@@ -156,7 +156,8 @@ def main():
             results.update(bench_one(family, ENVELOPES[family]))
         except Exception as e:  # per-family: one flake must not kill all
             errors[family] = "%s: %s" % (
-                type(e).__name__, str(e).splitlines()[-1][:200])
+                type(e).__name__,
+                (str(e).splitlines() or [""])[-1][:200])
 
     try:
         # merge: tools/bench_runtime.py contributes serving-RTF entries
@@ -194,5 +195,6 @@ if __name__ == "__main__":
     try:
         main()
     except Exception as e:  # noqa: BLE001 — the record must stay parseable
-        emit_failure(type(e).__name__, str(e).splitlines()[-1][:500])
+        emit_failure(type(e).__name__,
+                     (str(e).splitlines() or [""])[-1][:500])
         raise SystemExit(1)

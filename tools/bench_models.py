@@ -168,10 +168,10 @@ def step_mfu(name, step, raw_step, state, batch, sec_per_step):
     jitted function's trace is cached after the first call and would not
     re-run the recording Python. v5e peak: 197 TFLOP/s bf16.
 
-    NB: the count is EXECUTED MXU FLOPs, which includes the backward
-    kernels' in-kernel gate recompute (a memory-saving implementation
-    choice, ~1/3 of the kernel backward). Strict model-FLOPs MFU is
-    ~25% lower for LSTM-dominated models.
+    Two MFU keys (VERDICT r4 #8): mfu_exec counts EXECUTED MXU FLOPs,
+    which include the backward kernels' in-kernel gate recompute (a
+    memory-saving implementation choice, ~1/3 of the kernel backward);
+    mfu_model counts only the strict model FLOPs (fwd + required dx/dW).
     """
     try:
         import jax
@@ -183,12 +183,14 @@ def step_mfu(name, step, raw_step, state, batch, sec_per_step):
         # hit the cached jaxpr and never re-run the recording Python
         jax.eval_shape(lambda s, b: raw_step(s, b), state, batch)
         kernel_flops = pallas_lstm.flop_ledger()
+        kernel_model_flops = pallas_lstm.model_flop_ledger()
         compiled = step.lower(state, batch).compile()
         cost = compiled.cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
         xla_flops = float(cost.get("flops", 0.0))
         flops = xla_flops + kernel_flops
+        model_flops = xla_flops + kernel_model_flops
         if flops <= 0:
             return {}
         peak = 197e12
@@ -196,8 +198,10 @@ def step_mfu(name, step, raw_step, state, batch, sec_per_step):
             f"{name}_train_gflops_per_step": round(flops / 1e9, 1),
             f"{name}_train_pallas_gflops_per_step": round(
                 kernel_flops / 1e9, 1),
-            f"{name}_train_mfu_pct_v5e_bf16": round(
+            f"{name}_train_mfu_exec_pct_v5e_bf16": round(
                 flops / sec_per_step / peak * 100, 2),
+            f"{name}_train_mfu_model_pct_v5e_bf16": round(
+                model_flops / sec_per_step / peak * 100, 2),
         }
     except Exception:
         return {}

@@ -6,6 +6,7 @@ the TPU lane dimension. Fuse semantics (concat/additive/multiply/FiLM) match
 the reference exactly.
 """
 
+import os
 from typing import Optional
 
 import flax.linen as nn
@@ -145,6 +146,16 @@ class GlobalLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # Precision note (ADVICE r4): under bf16 compute the squares are
+        # formed from bf16-rounded values and the affine applies in bf16,
+        # so a stream with |mean| >> std (not the case for zero-mean
+        # audio activations; validated by the on-chip convergence
+        # battery) loses precision vs an f32 upcast. Escape hatch:
+        # WESEP_GLN_F32=1 restores full-f32 stats + application at the
+        # cost of an f32 adjoint stream (the r4 throughput regression).
+        in_dtype = x.dtype
+        if os.environ.get("WESEP_GLN_F32") == "1":
+            x = x.astype(jnp.float32)
         c = x.shape[-1]
         weight = self.param("weight", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
@@ -171,7 +182,7 @@ class GlobalLayerNorm(nn.Module):
         # stream and its adjoint out of f32; exact for f32 inputs)
         a = (weight * scale).astype(x.dtype)
         caff = (bias - mean * weight * scale).astype(x.dtype)
-        return a * x + caff
+        return (a * x + caff).astype(in_dtype)
 
 
 class ChannelLayerNorm(nn.Module):

@@ -411,7 +411,9 @@ def _bwd_call(x2, wb, bias, stats, dy2, shapes, eps):
         x2 = jnp.pad(x2, ((0, 0), (0, tp - x2.shape[1]), (0, 0)))
         dy2 = jnp.pad(dy2, ((0, 0), (0, tp - dy2.shape[1]), (0, 0)))
     f32 = jnp.float32
-    _record_flops(3 * b * t_len * nf * p * 3 * (p + 2) * ci * co * 2)
+    # executed = 3x fwd (conv recompute + dx + dW); strict model bwd = 2x
+    _record_flops(3 * b * t_len * nf * p * 3 * (p + 2) * ci * co * 2,
+                  model=2 * b * t_len * nf * p * 3 * (p + 2) * ci * co * 2)
     wide = x2.shape[2]
 
     def blk(off, w):

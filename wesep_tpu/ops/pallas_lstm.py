@@ -53,21 +53,33 @@ def pallas_available() -> bool:
 # to the XLA-visible count (one trace == one step's worth of dispatches).
 # Only MXU matmul FLOPs are counted (the MFU convention); VPU gate math is
 # ~H/20x smaller and excluded.
-_FLOP_LEDGER = {"flops": 0.0}
+# Two counters (VERDICT r4 #8): "flops" is EXECUTED MXU FLOPs (includes
+# the backward kernels' in-kernel gate/activation recompute — a memory-
+# saving implementation choice); "model_flops" is the strict model-FLOP
+# count (fwd + the mathematically required dx/dW dots only). MFU from the
+# first is executed-FLOP utilization; from the second, strict MFU.
+_FLOP_LEDGER = {"flops": 0.0, "model_flops": 0.0}
 
 
 def reset_flop_ledger():
     _FLOP_LEDGER["flops"] = 0.0
+    _FLOP_LEDGER["model_flops"] = 0.0
 
 
 def flop_ledger() -> float:
-    """Analytic matmul FLOPs recorded by Pallas dispatches since the last
-    reset (trace-time; call around a single .lower()/trace)."""
+    """Analytic executed matmul FLOPs recorded by Pallas dispatches since
+    the last reset (trace-time; call around a single .lower()/trace)."""
     return _FLOP_LEDGER["flops"]
 
 
-def _record_flops(n):
+def model_flop_ledger() -> float:
+    """Strict model-FLOP count (executed minus in-kernel recompute)."""
+    return _FLOP_LEDGER["model_flops"]
+
+
+def _record_flops(n, model=None):
     _FLOP_LEDGER["flops"] += float(n)
+    _FLOP_LEDGER["model_flops"] += float(n if model is None else model)
 
 
 # The grid of every kernel here is (nb, T) and Pallas grids run
@@ -227,7 +239,8 @@ def _bwd_impl(reverse, res, dys):
     nb = b // b_tile
     interpret = not pallas_available()
     # 3 dots per step: gate recompute, dgates @ wh^T, h_prev^T @ dgates
-    _record_flops(6 * t_len * b * h * h4)
+    # (strict model bwd = the latter two; the recompute is implementation)
+    _record_flops(6 * t_len * b * h * h4, model=4 * t_len * b * h * h4)
 
     def kernel(xw_ref, wh_ref, ysp_ref, csp_ref, cs_ref, dys_ref,
                dxw_ref, dwh_ref, db_ref, dh_ref, dc_ref, dwh_acc, db_acc):
@@ -536,7 +549,9 @@ def _bi_backward(xw_f, xw_b, wh_f, wh_b, ys_f, ys_b, cs_f, cs_b,
     b_tile = _pick_b_tile_bi_bwd(b, h4, xw_f.dtype)
     nb = b // b_tile
     interpret = not pallas_available()
-    _record_flops(2 * 6 * t_len * b * h * h4)  # 2 dirs x 3 dots per step
+    # 2 dirs x 3 dots per step (1 of 3 is gate recompute, not model work)
+    _record_flops(2 * 6 * t_len * b * h * h4,
+                  model=2 * 4 * t_len * b * h * h4)
 
     def adjoint(xw_blk, wh_ref, h_prev, c_prev, c_t, dy_blk, dh, dc):
         """One direction's adjoint step -> (dgates, dh_prev, dc_prev,
@@ -923,7 +938,9 @@ def _bi_layer_backward(x_tm, wx_f, b_f, wh_f, wx_b, b_b, wh_b,
     interpret = not pallas_available()
     # 2 dirs x 5 dots per step: gate recompute (x @ wx + h @ wh),
     # dgates @ wh^T, dgates @ wx^T, x^T @ dgates, h_prev^T @ dgates
-    _record_flops(2 * 6 * t_len * b * (d + h) * h4)
+    # (strict model bwd = the 4 d-dots; the recompute is implementation)
+    _record_flops(2 * 6 * t_len * b * (d + h) * h4,
+                  model=2 * 4 * t_len * b * (d + h) * h4)
 
     def adjoint(x_blk, wx_ref, b_ref, wh_ref, h_prev, c_prev, c_t,
                 dy_blk, dh, dc):

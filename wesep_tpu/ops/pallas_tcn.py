@@ -485,7 +485,11 @@ def _bwd_call(x, b1_eff, w1, p0, kd, bd, g0w, g0b, p1, w2, b2, g1w, g1b,
         dy = jnp.pad(dy, ((0, 0), (0, tp - t_len), (0, 0)))
     scal = jnp.stack([p0, p1]).reshape(1, 2).astype(jnp.float32)
     f32 = jnp.float32
-    _record_flops(7 * b * t_len * c * h * 2)
+    # executed: 7 matmul units (incl. in-kernel recompute of both 1x1
+    # convs' activations); strict model bwd = dx+dW for each 1x1 (4
+    # units) + the depthwise conv's dx/dW
+    _record_flops(7 * b * t_len * c * h * 2,
+                  model=4 * b * t_len * c * h * 2 + 2 * b * t_len * h * k * 2)
 
     grid = (b, 5, n_chunks)
     const = lambda bi, pi, ii: (0, 0)  # noqa: E731

@@ -23,9 +23,21 @@ def _make_stop_vote(should_stop):
     boundaries; if rank A stops after batch k while rank B enters batch
     k+1, B's gradient psum waits on A forever (the DDP `model.join()`
     analogue, reference executor.py:64-69). Every rank therefore
-    all-gathers its local flag at the SAME batch index and stops iff any
-    rank voted stop — one tiny host collective per batch, absorbed by
-    the training step's own cross-host collectives.
+    all-gathers its local flag at the SAME batch indices and stops iff
+    any rank voted stop.
+
+    The vote is a host-synchronized collective, so it is throttled to
+    every `stop_vote_interval` batches (ADVICE r4): ranks only check at
+    batch indices i % interval == 0, which bounds the added per-step
+    latency to 1/interval of a per-batch vote while keeping the vote
+    points globally consistent. A locally tripped flag therefore takes
+    effect up to interval-1 batches later — preemption grace periods
+    are minutes, steps are ~100 ms, so this is immaterial.
+
+    Requirement: all ranks must iterate the SAME number of batches per
+    epoch (infinite shard repeat + a fixed epoch_iter guarantee this in
+    bin/train). If dataloaders could end unequally, both this vote and
+    the gradient psum it protects would deadlock.
     """
     if should_stop is None:
         return None
@@ -46,6 +58,7 @@ def _make_stop_vote(should_stop):
         )
         return bool(np.any(flags))
 
+    vote.collective = True  # throttled by stop_vote_interval in train()
     return vote
 
 
@@ -66,6 +79,7 @@ class Executor:
         device_put: Optional[Callable] = None,
         sample_rate: int = 16000,
         should_stop: Optional[Callable[[], bool]] = None,
+        stop_vote_interval: int = 8,
     ):
         """One training epoch -> (state, avg_loss).
 
@@ -79,8 +93,15 @@ class Executor:
         losses = []
         meter = ThroughputMeter(sample_rate=sample_rate)
         vote_stop = _make_stop_vote(should_stop)
+        # only the multi-host collective vote is throttled; a local-only
+        # predicate is free and checked every batch
+        vote_every = (
+            stop_vote_interval
+            if getattr(vote_stop, "collective", False) else 1
+        )
         for i, batch in enumerate(dataloader):
-            if vote_stop is not None and vote_stop():
+            if (vote_stop is not None and i % vote_every == 0
+                    and vote_stop()):
                 self.stopped = True
                 if logger:
                     logger.warning(
