@@ -78,7 +78,14 @@ class GridNetBlock(nn.Module):
         """LayerNorm -> unfold -> BiLSTM -> deconv1d -> residual over the
         middle axis of [B', L, C]."""
         inp = x
-        y = nn.LayerNorm(epsilon=self.eps, name=f"{name}_norm")(x)
+        # cast back: flax LayerNorm promotes bf16 x against its f32
+        # params and returns f32, which would put the unfold, BOTH Pallas
+        # LSTM kernels (they cast weights to x.dtype) and the deconv in
+        # f32 — the r4 SpEx+ silent-promotion bug pattern (r5 xplane:
+        # every stream around the rnn branches was f32)
+        y = nn.LayerNorm(epsilon=self.eps, name=f"{name}_norm")(x).astype(
+            x.dtype
+        )
         if self.emb_ks == self.emb_hs:
             bsz, length, c = y.shape
             y = y.reshape(bsz, length // self.emb_ks, self.emb_ks * c)
