@@ -366,3 +366,79 @@ def test_flop_ledger_fresh_trace():
     jax.eval_shape(lambda *a: g(*a), *args)
     want = (2 * 2 + 2 * 6) * t * b * (d + h) * 4 * h
     assert P.flop_ledger() == want
+
+
+@pytest.mark.parametrize("ks,hs", [(4, 1), (2, 1), (4, 2), (3, 3)])
+def test_bilstm_layer_unfold_parity(ks, hs):
+    """Unfold-fused kernel == unfold_frames + bilstm_layer for values AND
+    all 7 gradients (study kernel, WESEP_LSTM_UNFOLD=1 path; measured
+    slower in-model at TF-GridNet shapes — BASELINE.md r5 — but must
+    stay correct). Torch-scale init keeps the comparison away from the
+    saturated-gate regime where ANY two f32 LSTM implementations diverge
+    chaotically (verified: bilstm_layer-vs-scan diverges identically
+    there)."""
+    from wesep_tpu.ops.pallas_lstm import bilstm_layer, bilstm_layer_unfold
+    from wesep_tpu.ops.rnn import unfold_frames
+
+    b, l_len, c, h = 8, 18, 16, 32
+    rng = np.random.default_rng(ks * 10 + hs)
+    scale = 1.0 / np.sqrt(h)
+    x = jnp.asarray(rng.standard_normal((b, l_len, c)).astype(np.float32))
+
+    def mk(shape):
+        return jnp.asarray(
+            (rng.uniform(-scale, scale, shape)).astype(np.float32)
+        )
+
+    wx_f, wh_f, b_f = mk((ks * c, 4 * h)), mk((h, 4 * h)), mk((4 * h,))
+    wx_b, wh_b, b_b = mk((ks * c, 4 * h)), mk((h, 4 * h)), mk((4 * h,))
+
+    def f_ref(x, wx_f, b_f, wh_f, wx_b, b_b, wh_b):
+        xu = unfold_frames(x, ks, hs)
+        return bilstm_layer(xu, wx_f, b_f, wh_f, wx_b, b_b, wh_b)
+
+    def f_new(x, wx_f, b_f, wh_f, wx_b, b_b, wh_b):
+        return bilstm_layer_unfold(
+            x, wx_f, b_f, wh_f, wx_b, b_b, wh_b, ks, hs
+        )
+
+    args = (x, wx_f, b_f, wh_f, wx_b, b_b, wh_b)
+    np.testing.assert_allclose(
+        np.asarray(f_new(*args)), np.asarray(f_ref(*args)),
+        atol=1e-5, rtol=1e-5,
+    )
+    got = jax.grad(
+        lambda *a: jnp.sum(jnp.tanh(f_new(*a))), argnums=tuple(range(7))
+    )(*args)
+    want = jax.grad(
+        lambda *a: jnp.sum(jnp.tanh(f_ref(*a))), argnums=tuple(range(7))
+    )(*args)
+    for i, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), atol=2e-4, rtol=1e-3,
+            err_msg=f"grad argnum {i}",
+        )
+
+
+def test_lstm_module_unfold_param_tree_unchanged():
+    """LSTM(unfold_ks=4) on raw [B, L, C] must build the SAME param tree
+    as LSTM() on the pre-unfolded stream (checkpoint/torch-port
+    compatibility) and agree numerically on the fallback path."""
+    from wesep_tpu.models.common import LSTM
+    from wesep_tpu.ops.rnn import unfold_frames
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 14, 16)).astype(np.float32))
+    m_new = LSTM(hidden=32, unfold_ks=4, unfold_hs=1)
+    m_old = LSTM(hidden=32)
+    xu = unfold_frames(x, 4, 1)
+    p_new = m_new.init(jax.random.PRNGKey(0), x)
+    p_old = m_old.init(jax.random.PRNGKey(0), xu)
+    shapes_new = jax.tree.map(lambda a: a.shape, p_new)
+    shapes_old = jax.tree.map(lambda a: a.shape, p_old)
+    assert shapes_new == shapes_old
+    y_new = m_new.apply(p_old, x)
+    y_old = m_old.apply(p_old, xu)
+    np.testing.assert_allclose(
+        np.asarray(y_new), np.asarray(y_old), atol=1e-6
+    )

@@ -331,26 +331,44 @@ class LSTM(nn.Module):
 
     bidirectional=True concatenates forward/backward -> [B, T, 2H].
     Init matches torch nn.LSTM (U(-1/sqrt(H), 1/sqrt(H))).
+
+    unfold_ks > 0: the input is the RAW [B, L, C] stream and the module
+    computes unfold(unfold_ks, unfold_hs) -> BiLSTM with the SAME param
+    tree as feeding the pre-unfolded [B, T', C*ks] stream (wx stays
+    [ks*C, 4H] in torch F.unfold channel-major order, so checkpoints
+    and torch ports are unchanged). On TPU the unfolded stream never
+    materializes (ops/pallas_lstm.bilstm_layer_unfold).
     """
 
     hidden: int
     bidirectional: bool = True
+    unfold_ks: int = 0
+    unfold_hs: int = 1
 
     @nn.compact
     def __call__(self, x):
         from wesep_tpu.ops.init import torch_lstm_init
-        from wesep_tpu.ops.rnn import bilstm, lstm
+        from wesep_tpu.ops.rnn import bilstm, bilstm_unfold, lstm
 
         d = x.shape[-1]
+        if self.unfold_ks:
+            d = d * self.unfold_ks
         init = torch_lstm_init(self.hidden)
         wx_f = self.param("wx_f", init, (d, 4 * self.hidden))
         wh_f = self.param("wh_f", init, (self.hidden, 4 * self.hidden))
         b_f = self.param("b_f", init, (4 * self.hidden,))
         if not self.bidirectional:
+            if self.unfold_ks:
+                raise NotImplementedError(
+                    "unfold_ks requires bidirectional=True"
+                )
             return lstm(x, wx_f, wh_f, b_f)
         wx_b = self.param("wx_b", init, (d, 4 * self.hidden))
         wh_b = self.param("wh_b", init, (self.hidden, 4 * self.hidden))
         b_b = self.param("b_b", init, (4 * self.hidden,))
+        if self.unfold_ks:
+            return bilstm_unfold(x, wx_f, wh_f, b_f, wx_b, wh_b, b_b,
+                                 self.unfold_ks, self.unfold_hs)
         return bilstm(x, wx_f, wh_f, b_f, wx_b, wh_b, b_b)
 
 

@@ -59,21 +59,6 @@ class GridNetBlock(nn.Module):
     eps: float = 1e-5
     shard_model_axis: bool = False
 
-    def _unfold(self, x):
-        """[B', L, C] -> [B', n_frames, C*emb_ks] with torch F.unfold
-        channel-major ordering (c * emb_ks + k)."""
-        bsz, length, c = x.shape
-        n_frames = (length - self.emb_ks) // self.emb_hs + 1
-        import numpy as np
-
-        idx = (
-            np.arange(n_frames)[:, None] * self.emb_hs
-            + np.arange(self.emb_ks)[None, :]
-        )
-        frames = x[:, idx]  # [B', n_frames, emb_ks, C]
-        frames = jnp.swapaxes(frames, -1, -2)  # [B', n_frames, C, emb_ks]
-        return frames.reshape(bsz, n_frames, c * self.emb_ks)
-
     def _rnn_branch(self, x, name):
         """LayerNorm -> unfold -> BiLSTM -> deconv1d -> residual over the
         middle axis of [B', L, C]."""
@@ -93,8 +78,14 @@ class GridNetBlock(nn.Module):
             y = Dense(self.emb_ks * c, name=f"{name}_linear")(y)
             y = y.reshape(bsz, length, c)
         else:
-            y = self._unfold(y)  # [B', n_frames, C*ks]
-            y = LSTM(self.hidden, name=f"{name}_rnn")(y)
+            # unfold fused into the LSTM module (raw [B', L, C] in; the
+            # Pallas path never materializes the ks-times-wider stream)
+            y = LSTM(
+                self.hidden,
+                unfold_ks=self.emb_ks,
+                unfold_hs=self.emb_hs,
+                name=f"{name}_rnn",
+            )(y)
             init = torch_linear_init(self.emb_dim * self.emb_ks)
             y = nn.ConvTranspose(
                 self.emb_dim,

@@ -29,6 +29,7 @@ __all__ = [
     "lstm_fused",
     "bilstm_fused",
     "bilstm_layer",
+    "bilstm_layer_unfold",
     "pallas_available",
 ]
 
@@ -1182,3 +1183,478 @@ def _bi_layer_bwd(res, dys):
 
 
 bilstm_layer.defvjp(_bi_layer_fwd, _bi_layer_bwd)
+
+
+# ---- unfold-fused layer kernel (TF-GridNet fold boundaries) -----------------
+#
+# The GridNet rnn branches (reference gridnet_block.py:139-186) wrap each
+# BiLSTM in unfold(emb_ks, emb_hs) / deconv1d fold boundaries. Feeding
+# bilstm_layer the pre-unfolded stream materializes a ks-times-wider
+# [T', B, ks*C] tensor in HBM (plus its time-major transpose, plus its
+# 4x-bigger residual for backward). The variant below consumes the RAW
+# [L, B, C] stream instead: each direction reads ks shifted views of x
+# via ks block-index maps (frame t tap k = row t*hs + k), and the input
+# projection becomes ks small [b, C] @ [C, 4H] dots summed in-kernel —
+# sequence-independent work that pipelines into the recurrence's VPU
+# bubble exactly like the layer kernel's single big x-dot. The unfolded
+# stream never exists; residuals shrink ks-fold. The backward recomputes
+# gates from the same shifted taps, accumulates dW per tap in VMEM, and
+# streams the unfolded cotangent dxu = dgates @ Wx^T ([T', B, ks*C]);
+# the caller folds it back with ks static shift-adds (cheap XLA
+# elementwise).
+#
+# Weight layout: callers keep the checkpoint/torch-port layout
+# wx [ks*C, 4H] with CHANNEL-major rows (c*ks + k, torch F.unfold order);
+# the wrapper permutes to tap-major [ks, C, 4H] before the kernel and
+# permutes dwx back.
+
+
+def _pick_b_tile_unfold_fwd(b, c, ks, h4, dtype):
+    """Per tile row: x taps (2 dirs, ks streams, dbl, lane-padded C) +
+    ys/cs out (2 dirs, dbl) + state scratch + gate temporaries;
+    fixed: tap-major wx + wh for both dirs."""
+    s = 2 if dtype == jnp.bfloat16 else 4
+    h = h4 // 4
+    c_pad = max(c, 128)
+    per_row = 2 * ks * 2 * c_pad * s + 4 * h * s + 16 * h + 16 * h + 8 * h4
+    fixed = 2 * (ks * c + h) * h4 * s
+    return _fit_tile(b, per_row, fixed, _MAX_TILE_ROWS_BWD[s])
+
+
+def _pick_b_tile_unfold_bwd(b, c, ks, h4, dtype):
+    """Adds dxu out (2 dirs, dbl, ks*C) + adjoint scratch + f32 dW
+    accumulators/outputs."""
+    s = 2 if dtype == jnp.bfloat16 else 4
+    h = h4 // 4
+    c_pad = max(c, 128)
+    per_row = (2 * ks * 2 * c_pad * s + 4 * ks * c * s + 4 * h * s
+               + 32 * h + 4 * h * s + 16 * h + 8 * h4)
+    fixed = 2 * (ks * c + h) * h4 * s + 4 * (ks * c + h) * h4 * 4
+    return _fit_tile(b, per_row, fixed, _MAX_TILE_ROWS_BWD[s])
+
+
+def _bi_unfold_forward(x_tm, wxp_f, b_f, wh_f, wxp_b, b_b, wh_b, ks, hs):
+    """x_tm: [L, B, C]; wxp_*: [ks, C, 4H] tap-major; biases [1, 4H]
+    -> (ys_f, ys_b, cs_f, cs_b) each [T', B, H]."""
+    l_len, b, c = x_tm.shape
+    h4 = wh_f.shape[1]
+    h = h4 // 4
+    t_len = (l_len - ks) // hs + 1
+    b_tile = _pick_b_tile_unfold_fwd(b, c, ks, h4, x_tm.dtype)
+    nb = b // b_tile
+    interpret = not pallas_available()
+    # 2 dirs x (ks taps @ wxp + h @ wh) per step
+    _record_flops(2 * 2 * t_len * b * (ks * c + h) * h4)
+
+    def gates(x_blks, wxp_ref, b_ref, h_state, wh_ref):
+        # concat the ks taps (VPU lane shuffle) and run ONE [b, ks*C]
+        # dot: ks separate 48-deep dots measured ~30% slower kernels
+        # (narrow contractions waste the 128-deep MXU)
+        xcat = jnp.concatenate([x_blks[k][0] for k in range(ks)], axis=-1)
+        g = (
+            b_ref[0]
+            + jnp.dot(xcat, wxp_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(
+                h_state.astype(xcat.dtype),
+                wh_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+        )
+        i = jax.nn.sigmoid(g[:, :h])
+        f = jax.nn.sigmoid(g[:, h:2 * h])
+        gg = jnp.tanh(g[:, 2 * h:3 * h])
+        o = jax.nn.sigmoid(g[:, 3 * h:])
+        return i, f, gg, o
+
+    def kernel(*refs):
+        xf = refs[0:ks]
+        xb = refs[ks:2 * ks]
+        (wxf_ref, bf_ref, whf_ref, wxb_ref, bb_ref, whb_ref,
+         ysf_ref, ysb_ref, csf_ref, csb_ref,
+         hf_ref, cf_ref, hb_ref, cb_ref) = refs[2 * ks:]
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            hf_ref[:] = jnp.zeros_like(hf_ref)
+            cf_ref[:] = jnp.zeros_like(cf_ref)
+            hb_ref[:] = jnp.zeros_like(hb_ref)
+            cb_ref[:] = jnp.zeros_like(cb_ref)
+
+        i_f, f_f, g_f, o_f = gates(xf, wxf_ref, bf_ref, hf_ref[:], whf_ref)
+        i_b, f_b, g_b, o_b = gates(xb, wxb_ref, bb_ref, hb_ref[:], whb_ref)
+
+        c_f = f_f * cf_ref[:] + i_f * g_f
+        h_f = o_f * jnp.tanh(c_f)
+        cf_ref[:] = c_f
+        hf_ref[:] = h_f
+        ysf_ref[0] = h_f.astype(ysf_ref.dtype)
+        csf_ref[0] = c_f
+
+        c_b = f_b * cb_ref[:] + i_b * g_b
+        h_b = o_b * jnp.tanh(c_b)
+        cb_ref[:] = c_b
+        hb_ref[:] = h_b
+        ysb_ref[0] = h_b.astype(ysb_ref.dtype)
+        csb_ref[0] = c_b
+
+    def tap_f(k):
+        return lambda bi, t: (t * hs + k, bi, 0)
+
+    def tap_b(k):
+        return lambda bi, t: ((t_len - 1 - t) * hs + k, bi, 0)
+
+    fwd_ix = lambda bi, t: (t, bi, 0)  # noqa: E731
+    bwd_ix = lambda bi, t: (t_len - 1 - t, bi, 0)  # noqa: E731
+    w_ix = lambda bi, t: (0, 0)  # noqa: E731
+    x_spec_f = [
+        pl.BlockSpec((1, b_tile, c), tap_f(k), memory_space=pltpu.VMEM)
+        for k in range(ks)
+    ]
+    x_spec_b = [
+        pl.BlockSpec((1, b_tile, c), tap_b(k), memory_space=pltpu.VMEM)
+        for k in range(ks)
+    ]
+    ys_f, ys_b, cs_f, cs_b = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((t_len, b, h), x_tm.dtype),
+            jax.ShapeDtypeStruct((t_len, b, h), x_tm.dtype),
+            jax.ShapeDtypeStruct((t_len, b, h), jnp.float32),
+            jax.ShapeDtypeStruct((t_len, b, h), jnp.float32),
+        ),
+        grid=(nb, t_len),
+        in_specs=x_spec_f + x_spec_b + [
+            pl.BlockSpec((ks * c, h4), w_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h4), w_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h4), w_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ks * c, h4), w_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h4), w_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h4), w_ix, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, b_tile, h), fwd_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), bwd_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), fwd_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), bwd_ix, memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b_tile, h), jnp.float32),
+            pltpu.VMEM((b_tile, h), jnp.float32),
+            pltpu.VMEM((b_tile, h), jnp.float32),
+            pltpu.VMEM((b_tile, h), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*([x_tm] * (2 * ks)), wxp_f.reshape(ks * c, h4), b_f, wh_f,
+      wxp_b.reshape(ks * c, h4), b_b, wh_b)
+    return ys_f, ys_b, cs_f, cs_b
+
+
+def _bi_unfold_backward(x_tm, wxp_f, b_f, wh_f, wxp_b, b_b, wh_b,
+                        ys_f, ys_b, cs_f, cs_b, dys_f, dys_b, ks, hs):
+    l_len, b, c = x_tm.shape
+    h4 = wh_f.shape[1]
+    h = h4 // 4
+    t_len = (l_len - ks) // hs + 1
+    b_tile = _pick_b_tile_unfold_bwd(b, c, ks, h4, x_tm.dtype)
+    nb = b // b_tile
+    interpret = not pallas_available()
+    # executed: gate recompute + dgates@wh^T + dgates@wx^T + per-tap dW
+    # + dwh (6 dot-units over d+h); strict model bwd excludes the
+    # recompute (4 units)
+    _record_flops(2 * 6 * t_len * b * (ks * c + h) * h4,
+                  model=2 * 4 * t_len * b * (ks * c + h) * h4)
+
+    def adjoint(x_blks, wxflat_ref, b_ref, wh_ref,
+                h_prev, c_prev, c_t, dy_blk, dh, dc):
+        xcat = jnp.concatenate([x_blks[k][0] for k in range(ks)], axis=-1)
+        g = (
+            b_ref[0]
+            + jnp.dot(xcat, wxflat_ref[:],
+                      preferred_element_type=jnp.float32)
+            + jnp.dot(
+                h_prev.astype(xcat.dtype),
+                wh_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+        )
+        i = jax.nn.sigmoid(g[:, :h])
+        f = jax.nn.sigmoid(g[:, h:2 * h])
+        gg = jnp.tanh(g[:, 2 * h:3 * h])
+        o = jax.nn.sigmoid(g[:, 3 * h:])
+        tanh_c = jnp.tanh(c_t)
+        dh_total = dy_blk.astype(jnp.float32) + dh
+        do = dh_total * tanh_c
+        dct = dh_total * o * (1.0 - tanh_c * tanh_c) + dc
+        dgi = (dct * gg) * i * (1.0 - i)
+        dgf = (dct * c_prev) * f * (1.0 - f)
+        dgc = (dct * i) * (1.0 - gg * gg)
+        dgo = do * o * (1.0 - o)
+        dgates = jnp.concatenate([dgi, dgf, dgc, dgo], axis=-1)
+        dg_lp = dgates.astype(x_blks[0].dtype)
+        dh_prev = jnp.dot(dg_lp, wh_ref[:].T,
+                          preferred_element_type=jnp.float32)
+        dxu = jnp.dot(dg_lp, wxflat_ref[:].T,
+                      preferred_element_type=jnp.float32)
+        dwx_inc = jnp.dot(xcat.T, dg_lp,
+                          preferred_element_type=jnp.float32)
+        dwh_inc = jnp.dot(h_prev.astype(xcat.dtype).T, dg_lp,
+                          preferred_element_type=jnp.float32)
+        db_inc = jnp.sum(dgates, axis=0, keepdims=True)
+        return dxu, dh_prev, dct * f, dwx_inc, dwh_inc, db_inc
+
+    def kernel(*refs):
+        xf = refs[0:ks]
+        xb = refs[ks:2 * ks]
+        (wxflatf_ref, bf_ref, whf_ref,
+         wxflatb_ref, bb_ref, whb_ref,
+         yspf_ref, yspb_ref, cspf_ref, cspb_ref,
+         csf_ref, csb_ref, dysf_ref, dysb_ref,
+         dxuf_ref, dxub_ref, dwxf_ref, dwxb_ref,
+         dwhf_ref, dwhb_ref, dbf_ref, dbb_ref,
+         dhf, dcf, dhb, dcb,
+         dwxf_acc, dwxb_acc, dwhf_acc, dwhb_acc,
+         dbf_acc, dbb_acc) = refs[2 * ks:]
+        tr = pl.program_id(1)
+
+        @pl.when(tr == 0)
+        def _():
+            dhf[:] = jnp.zeros_like(dhf)
+            dcf[:] = jnp.zeros_like(dcf)
+            dhb[:] = jnp.zeros_like(dhb)
+            dcb[:] = jnp.zeros_like(dcb)
+            dwxf_acc[:] = jnp.zeros_like(dwxf_acc)
+            dwxb_acc[:] = jnp.zeros_like(dwxb_acc)
+            dwhf_acc[:] = jnp.zeros_like(dwhf_acc)
+            dwhb_acc[:] = jnp.zeros_like(dwhb_acc)
+            dbf_acc[:] = jnp.zeros_like(dbf_acc)
+            dbb_acc[:] = jnp.zeros_like(dbb_acc)
+
+        is_boundary = tr == t_len - 1
+        hp_f = jnp.where(
+            is_boundary, jnp.zeros_like(yspf_ref[0]), yspf_ref[0]
+        ).astype(jnp.float32)
+        cp_f = jnp.where(is_boundary, jnp.zeros_like(cspf_ref[0]),
+                         cspf_ref[0])
+        hp_b = jnp.where(
+            is_boundary, jnp.zeros_like(yspb_ref[0]), yspb_ref[0]
+        ).astype(jnp.float32)
+        cp_b = jnp.where(is_boundary, jnp.zeros_like(cspb_ref[0]),
+                         cspb_ref[0])
+
+        dxu_f, dhp_f, dcp_f, dwxi_f, dwhi_f, dbi_f = adjoint(
+            xf, wxflatf_ref, bf_ref, whf_ref, hp_f, cp_f,
+            csf_ref[0], dysf_ref[0], dhf[:], dcf[:],
+        )
+        dxu_b, dhp_b, dcp_b, dwxi_b, dwhi_b, dbi_b = adjoint(
+            xb, wxflatb_ref, bb_ref, whb_ref, hp_b, cp_b,
+            csb_ref[0], dysb_ref[0], dhb[:], dcb[:],
+        )
+        dxuf_ref[0] = dxu_f.astype(dxuf_ref.dtype)
+        dhf[:] = dhp_f
+        dcf[:] = dcp_f
+        dwxf_acc[:] += dwxi_f
+        dwhf_acc[:] += dwhi_f
+        dbf_acc[:] += dbi_f
+        dxub_ref[0] = dxu_b.astype(dxub_ref.dtype)
+        dhb[:] = dhp_b
+        dcb[:] = dcp_b
+        dwxb_acc[:] += dwxi_b
+        dwhb_acc[:] += dwhi_b
+        dbb_acc[:] += dbi_b
+
+        @pl.when(is_boundary)
+        def _():
+            dwxf_ref[0] = dwxf_acc[:]
+            dwxb_ref[0] = dwxb_acc[:]
+            dwhf_ref[0] = dwhf_acc[:]
+            dwhb_ref[0] = dwhb_acc[:]
+            dbf_ref[0] = dbf_acc[:]
+            dbb_ref[0] = dbb_acc[:]
+
+    def tapr_f(k):
+        return lambda bi, tr: ((t_len - 1 - tr) * hs + k, bi, 0)
+
+    def tapr_b(k):
+        return lambda bi, tr: (tr * hs + k, bi, 0)
+
+    cur_f = lambda bi, tr: (t_len - 1 - tr, bi, 0)  # noqa: E731
+    prev_f = lambda bi, tr: (jnp.maximum(t_len - 2 - tr, 0), bi, 0)  # noqa: E731,E501
+    cur_b = lambda bi, tr: (tr, bi, 0)  # noqa: E731
+    prev_b = lambda bi, tr: (jnp.minimum(tr + 1, t_len - 1), bi, 0)  # noqa: E731,E501
+    w_ix = lambda bi, tr: (0, 0)  # noqa: E731
+    tile_ix = lambda bi, tr: (bi, 0, 0)  # noqa: E731
+    x_spec_f = [
+        pl.BlockSpec((1, b_tile, c), tapr_f(k), memory_space=pltpu.VMEM)
+        for k in range(ks)
+    ]
+    x_spec_b = [
+        pl.BlockSpec((1, b_tile, c), tapr_b(k), memory_space=pltpu.VMEM)
+        for k in range(ks)
+    ]
+    wxflat_f = wxp_f.reshape(ks * c, h4)
+    wxflat_b = wxp_b.reshape(ks * c, h4)
+
+    (dxu_f, dxu_b, dwxf_t, dwxb_t, dwhf_t, dwhb_t,
+     dbf_t, dbb_t) = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((t_len, b, ks * c), x_tm.dtype),
+            jax.ShapeDtypeStruct((t_len, b, ks * c), x_tm.dtype),
+            jax.ShapeDtypeStruct((nb, ks * c, h4), jnp.float32),
+            jax.ShapeDtypeStruct((nb, ks * c, h4), jnp.float32),
+            jax.ShapeDtypeStruct((nb, h, h4), jnp.float32),
+            jax.ShapeDtypeStruct((nb, h, h4), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, h4), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, h4), jnp.float32),
+        ),
+        grid=(nb, t_len),
+        in_specs=x_spec_f + x_spec_b + [
+            pl.BlockSpec((ks * c, h4), w_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h4), w_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h4), w_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ks * c, h4), w_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h4), w_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h4), w_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), prev_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), prev_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), prev_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), prev_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), cur_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), cur_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), cur_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, h), cur_b, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, b_tile, ks * c), cur_f,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, ks * c), cur_b,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ks * c, h4), tile_ix,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ks * c, h4), tile_ix,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, h4), tile_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, h4), tile_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h4), tile_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h4), tile_ix, memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b_tile, h), jnp.float32),
+            pltpu.VMEM((b_tile, h), jnp.float32),
+            pltpu.VMEM((b_tile, h), jnp.float32),
+            pltpu.VMEM((b_tile, h), jnp.float32),
+            pltpu.VMEM((ks * c, h4), jnp.float32),
+            pltpu.VMEM((ks * c, h4), jnp.float32),
+            pltpu.VMEM((h, h4), jnp.float32),
+            pltpu.VMEM((h, h4), jnp.float32),
+            pltpu.VMEM((1, h4), jnp.float32),
+            pltpu.VMEM((1, h4), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*([x_tm] * (2 * ks)), wxflat_f, b_f, wh_f,
+      wxflat_b, b_b, wh_b,
+      ys_f, ys_b, cs_f, cs_b, cs_f, cs_b, dys_f, dys_b)
+    return (
+        dxu_f, dxu_b,
+        jnp.sum(dwxf_t, axis=0), jnp.sum(dwxb_t, axis=0),
+        jnp.sum(dwhf_t, axis=0), jnp.sum(dwhb_t, axis=0),
+        jnp.sum(dbf_t, axis=(0, 1)), jnp.sum(dbb_t, axis=(0, 1)),
+    )
+
+
+def _permute_tap_major(wx, ks):
+    """[ks*C (channel-major c*ks+k), 4H] -> [ks, C, 4H] tap-major."""
+    d, h4 = wx.shape
+    c = d // ks
+    return wx.reshape(c, ks, h4).transpose(1, 0, 2)
+
+
+def _fold_dxu(dxu, ks, hs, l_len):
+    """Fold the unfolded cotangent [B, T', ks*C] (tap-major) back to
+    [B, L, C]: dx[l] = sum_k dxu[t, k] where l = t*hs + k."""
+    b, t_len, kc = dxu.shape
+    c = kc // ks
+    dxu = dxu.reshape(b, t_len, ks, c)
+    dx = jnp.zeros((b, l_len, c), dxu.dtype)
+    for k in range(ks):
+        dx = dx.at[:, k:k + hs * t_len:hs].add(dxu[:, :, k])
+    return dx
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def bilstm_layer_unfold(x, wx_f, b_f, wh_f, wx_b, b_b, wh_b, ks, hs):
+    """Unfold(ks, hs) + bidirectional LSTM as ONE fused layer kernel.
+
+    x: [B, L, C]; wx_*: [ks*C, 4H] in torch F.unfold channel-major row
+    order (c*ks + k) — identical to feeding bilstm_layer the unfolded
+    stream, but the [T', B, ks*C] unfolded tensor never exists in HBM.
+    Returns [B, T', 2H] with T' = (L - ks)//hs + 1.
+    """
+    ys, _ = _bi_unfold_fwd_impl(x, wx_f, b_f, wh_f, wx_b, b_b, wh_b,
+                                ks, hs)
+    return ys
+
+
+def _bi_unfold_fwd_impl(x, wx_f, b_f, wh_f, wx_b, b_b, wh_b, ks, hs):
+    x_tm = jnp.swapaxes(x, 0, 1)
+    cast = lambda w: w.astype(x.dtype)  # noqa: E731
+    wxp_f = _permute_tap_major(cast(wx_f), ks)
+    wxp_b = _permute_tap_major(cast(wx_b), ks)
+    ys_f, ys_b, cs_f, cs_b = _bi_unfold_forward(
+        x_tm, wxp_f, b_f.astype(jnp.float32).reshape(1, -1), cast(wh_f),
+        wxp_b, b_b.astype(jnp.float32).reshape(1, -1), cast(wh_b),
+        ks, hs,
+    )
+    ys = jnp.concatenate(
+        [jnp.swapaxes(ys_f, 0, 1), jnp.swapaxes(ys_b, 0, 1)], axis=-1
+    )
+    return ys, (x_tm, ys_f, ys_b, cs_f, cs_b)
+
+
+def _bi_unfold_fwd(x, wx_f, b_f, wh_f, wx_b, b_b, wh_b, ks, hs):
+    ys, (x_tm, ys_f, ys_b, cs_f, cs_b) = _bi_unfold_fwd_impl(
+        x, wx_f, b_f, wh_f, wx_b, b_b, wh_b, ks, hs
+    )
+    return ys, (x_tm, wx_f, b_f, wh_f, wx_b, b_b, wh_b,
+                ys_f, ys_b, cs_f, cs_b)
+
+
+def _bi_unfold_bwd(ks, hs, res, dys):
+    (x_tm, wx_f, b_f, wh_f, wx_b, b_b, wh_b,
+     ys_f, ys_b, cs_f, cs_b) = res
+    h = wh_f.shape[0]
+    dt = x_tm.dtype
+    cast = lambda w: w.astype(dt)  # noqa: E731
+    wxp_f = _permute_tap_major(cast(wx_f), ks)
+    wxp_b = _permute_tap_major(cast(wx_b), ks)
+    dys_f = jnp.swapaxes(dys[..., :h], 0, 1).astype(dt)
+    dys_b = jnp.swapaxes(dys[..., h:], 0, 1).astype(dt)
+    (dxu_f, dxu_b, dwxp_f, dwxp_b, dwh_f, dwh_b, db_f, db_b) = (
+        _bi_unfold_backward(
+            x_tm, wxp_f, b_f.astype(jnp.float32).reshape(1, -1),
+            cast(wh_f), wxp_b, b_b.astype(jnp.float32).reshape(1, -1),
+            cast(wh_b), ys_f, ys_b, cs_f, cs_b, dys_f, dys_b, ks, hs,
+        )
+    )
+    l_len = x_tm.shape[0]
+    dxu = jnp.swapaxes(dxu_f + dxu_b, 0, 1)  # [B, T', ks*C]
+    dx = _fold_dxu(dxu, ks, hs, l_len)
+
+    def unpermute(dwxp):
+        kc, h4 = dwxp.shape
+        c = kc // ks
+        return dwxp.reshape(ks, c, h4).transpose(1, 0, 2).reshape(kc, h4)
+
+    return (
+        dx,
+        unpermute(dwxp_f).astype(wx_f.dtype),
+        db_f.astype(b_f.dtype),
+        dwh_f.astype(wh_f.dtype),
+        unpermute(dwxp_b).astype(wx_b.dtype),
+        db_b.astype(b_b.dtype),
+        dwh_b.astype(wh_b.dtype),
+    )
+
+
+bilstm_layer_unfold.defvjp(_bi_unfold_fwd, _bi_unfold_bwd)

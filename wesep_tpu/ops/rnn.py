@@ -121,3 +121,51 @@ def bilstm(x, wx_f, wh_f, b_f, wx_b, wh_b, b_b):
     fwd = lstm(x, wx_f, wh_f, b_f, reverse=False)
     bwd = lstm(x, wx_b, wh_b, b_b, reverse=True)
     return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+def unfold_frames(x, ks: int, hs: int):
+    """[B, L, C] -> [B, T', C*ks] sliding frames in torch F.unfold
+    CHANNEL-major order (c*ks + k), T' = (L-ks)//hs + 1 (the GridNet
+    fold boundary, reference gridnet_block.py:139-186)."""
+    import numpy as np
+
+    bsz, length, c = x.shape
+    n = (length - ks) // hs + 1
+    idx = np.arange(n)[:, None] * hs + np.arange(ks)[None, :]
+    frames = x[:, idx]  # [B, T', ks, C]
+    frames = jnp.swapaxes(frames, -1, -2)  # [B, T', C, ks]
+    return frames.reshape(bsz, n, c * ks)
+
+
+def bilstm_unfold(x, wx_f, wh_f, b_f, wx_b, wh_b, b_b, ks, hs):
+    """unfold(ks, hs) + bidirectional LSTM, fused on TPU.
+
+    x: [B, L, C]; weights in the unfolded layout ([ks*C, 4H], channel-
+    major rows) — identical params to bilstm(unfold_frames(x)).
+
+    WESEP_LSTM_UNFOLD=1 routes to the fully-fused kernel
+    (ops/pallas_lstm.bilstm_layer_unfold: the unfolded [T', B, ks*C]
+    stream never exists — ks shifted views of x per direction, in-kernel
+    concat + flat projection). Measured SLOWER in-model at TF-GridNet
+    recipe shapes and therefore NOT the default (v5e, batch 2 x 3 s:
+    materialized-unfold 92.9 ms/step, fused concat-variant 97.5,
+    fused per-tap-dots 109.4 — the per-step in-kernel work multiplies
+    by T and outweighs the one-time XLA-side unfold/transpose streams;
+    BASELINE.md round-5 falsification note). Kept for study and for
+    its 4x smaller saved residuals."""
+    hidden = wh_f.shape[0]
+    batch = x.shape[0]
+    if (_use_pallas(batch, hidden)
+            and os.environ.get("WESEP_LSTM_UNFOLD") == "1"):
+        from wesep_tpu.ops.pallas_lstm import bilstm_layer_unfold
+
+        pad = (-batch) % 8
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+        ys = bilstm_layer_unfold(x, wx_f, b_f, wh_f, wx_b, b_b, wh_b,
+                                 ks, hs)
+        if pad:
+            ys = ys[:batch]
+        return ys
+    return bilstm(unfold_frames(x, ks, hs), wx_f, wh_f, b_f,
+                  wx_b, wh_b, b_b)
