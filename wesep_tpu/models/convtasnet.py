@@ -199,6 +199,55 @@ def _tcn_kernel_apply(block, x, embed=None):
     )
 
 
+class _OverlapAddDeconv(nn.Module):
+    """nn.ConvTranspose-compatible params (kernel [k, Cin, F], bias [F])
+    computed as ONE matmul + static shift-add overlap-add.
+
+    XLA lowers a stride-s ConvTranspose as an input-dilated dense conv:
+    out_len x k x Cin MACs (~255 GFLOP/step for the three SpEx+ decoders
+    vs their ~5 GFLOP matmul content — measured 8.3 ms/step, r5 xplane).
+    Here: windows = x @ W ([B*T', Cin] @ [Cin, k*F], MXU-shaped), then
+    ceil(k/s) static shifted adds place the windows at stride s — the
+    overlap_and_add form of the reference (wesep/utils/funcs.py:10-56).
+    Exact same math and param tree as nn.ConvTranspose VALID."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    kernel_init: object = None
+    bias_init: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, cin = x.shape
+        k, s, f = self.kernel_size, self.stride, self.features
+        kernel = self.param(
+            "kernel", self.kernel_init, (k, cin, f)
+        ).astype(x.dtype)
+        bias = self.param("bias", self.bias_init, (f,)).astype(x.dtype)
+        # flax transpose_kernel=False applies the kernel spatially
+        # REVERSED relative to the torch out[n] = sum_t x[t] K[n-t*s]
+        # form (the torch-port stores it pre-flipped, torch_port.py:
+        # _convtrans1d_sd); flip back so tap j lands at offset j
+        windows = jnp.einsum(
+            "btc,kcf->btkf", x, kernel[::-1],
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        g = -(-k // s)  # taps grouped s-wide -> g static shifted adds
+        if g * s != k:
+            windows = jnp.pad(
+                windows, ((0, 0), (0, 0), (0, g * s - k), (0, 0))
+            )
+        windows = windows.reshape(b, t, g, s, f)
+        out_len = (t - 1) * s + k
+        out = jnp.zeros((b, t * s + (g - 1) * s, f), x.dtype)
+        for j in range(g):
+            out = out.at[:, j * s:(j + t) * s].add(
+                windows[:, :, j].reshape(b, t * s, f)
+            )
+        return out[:, :out_len] + bias
+
+
 class ConvTranspose1d(nn.Module):
     """Transposed 1-D conv on [B, T, C] (VALID padding = torch padding=0)."""
 
@@ -212,14 +261,15 @@ class ConvTranspose1d(nn.Module):
 
         # torch ConvTranspose1d fan_in = out_channels/groups * kernel
         init = torch_linear_init(self.features * self.kernel_size)
-        return nn.ConvTranspose(
+        # named like the nn.ConvTranspose it replaces -> identical
+        # checkpoint/torch-port param paths (dec_*/ConvTranspose_0/...)
+        return _OverlapAddDeconv(
             features=self.features,
-            kernel_size=(self.kernel_size,),
-            strides=(self.stride,),
-            padding="VALID",
+            kernel_size=self.kernel_size,
+            stride=self.stride,
             kernel_init=init,
             bias_init=init,
-            dtype=x.dtype,  # see common.Conv1d: avoid f32 promotion
+            name="ConvTranspose_0",
         )(x)
 
 
