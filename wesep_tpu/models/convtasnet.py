@@ -21,6 +21,8 @@ confs/spexplus.yaml:27-30) or a single [B, T] array otherwise; spk_logits
 is None unless multi_task.
 """
 
+from typing import Optional
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -118,7 +120,7 @@ def _tcn_kernel_ok(x, conv_channels):
     flag = os.environ.get("WESEP_TCN_PALLAS", "1")
     if flag == "0":
         return False
-    from wesep_tpu.ops.pallas_tcn import _RC, _ceil_to, pallas_available
+    from wesep_tpu.ops.pallas_tcn import _RC_BWD, _ceil_to, pallas_available
 
     on_tpu = pallas_available()
     if not on_tpu and flag != "force":
@@ -126,7 +128,7 @@ def _tcn_kernel_ok(x, conv_channels):
         # dedicated parity tests opt in
         return False
     t_len = x.shape[1]
-    scratch = 2 * (_ceil_to(t_len, _RC) + 512) * conv_channels
+    scratch = 2 * (_ceil_to(t_len, _RC_BWD) + 512) * conv_channels
     scratch *= x.dtype.itemsize
     if on_tpu and scratch > 12 * 1024 * 1024:
         return False
@@ -195,7 +197,7 @@ def _tcn_kernel_apply(block, x, embed=None):
         gln1.get_variable("params", "weight"),
         gln1.get_variable("params", "bias"),
         block.dilation, block.kernel_size, block.causal,
-        GlobalLayerNorm.eps,
+        GlobalLayerNorm.eps, block.valid_len,
     )
 
 
@@ -292,6 +294,9 @@ class TCNBlock(nn.Module):
     # whole-block fused Pallas kernel (ops/pallas_tcn.py): identical
     # param tree, HBM sees only read-x/write-y per block
     pallas_tcn: bool = False
+    # pre-padded stack mode (see tcn_block_gln valid_len): only the
+    # kernel path understands padded streams
+    valid_len: Optional[int] = None
 
     @nn.compact
     def __call__(self, x):
@@ -302,6 +307,12 @@ class TCNBlock(nn.Module):
             and _tcn_kernel_ok(x, self.conv_channels)
         ):
             return _tcn_kernel_apply(self, x)
+        if self.valid_len is not None:
+            raise ValueError(
+                "valid_len (pre-padded stream) requires the Pallas "
+                "kernel route; the XLA path would fold pad rows into "
+                "the gLN stats"
+            )
         in_ch = x.shape[-1]
         pad = (
             self.dilation * (self.kernel_size - 1) // 2
@@ -362,6 +373,7 @@ class FuseTCNBlock(nn.Module):
     causal: bool = False
     fuse_gln: bool = False  # see TCNBlock.fuse_gln
     pallas_tcn: bool = False  # see TCNBlock.pallas_tcn
+    valid_len: Optional[int] = None  # see TCNBlock.valid_len
 
     @nn.compact
     def __call__(self, x, embed):
@@ -371,6 +383,11 @@ class FuseTCNBlock(nn.Module):
             and _tcn_kernel_ok(x, self.conv_channels)
         ):
             return _tcn_kernel_apply(self, x, embed=embed)
+        if self.valid_len is not None:
+            raise ValueError(
+                "valid_len (pre-padded stream) requires the Pallas "
+                "kernel route"
+            )
         in_ch = x.shape[-1]
         tile = jnp.broadcast_to(
             embed[:, None, :], x.shape[:-1] + (embed.shape[-1],)
@@ -430,6 +447,7 @@ class TCNStack(nn.Module):
     remat: bool = False
     fuse_gln: bool = False  # see TCNBlock.fuse_gln
     pallas_tcn: bool = False  # see TCNBlock.pallas_tcn
+    valid_len: Optional[int] = None  # see TCNBlock.valid_len
 
     @nn.compact
     def __call__(self, x):
@@ -446,6 +464,7 @@ class TCNStack(nn.Module):
                     skip_con=self.skip_con,
                     fuse_gln=self.fuse_gln,
                     pallas_tcn=self.pallas_tcn,
+                    valid_len=self.valid_len,
                 )
                 if self.skip_con:
                     skip, x = blk(x)
@@ -661,6 +680,28 @@ class ConvTasNet(nn.Module):
 
         # --- separator with per-repeat fusion ---------------------------------
         x = e
+        # pad ONCE for the whole kernelized separator instead of a
+        # pad + trim pair inside every block call (32 of each at the
+        # SpEx+ envelope): pre-pad to a multiple of both kernel chunk
+        # sizes and thread valid_len so the kernels mask the tail
+        sep_valid = None
+        if (
+            self.multi_fuse
+            and self.spk_fuse_type == "concatConv"
+            and self.pallas_tcn
+            and self.norm == "gLN"
+            and not self.skip_con
+            and _tcn_kernel_ok(x, self.H)
+        ):
+            from wesep_tpu.ops.pallas_tcn import _RC_BWD, _RC_FWD
+
+            rc = max(_RC_FWD, _RC_BWD)
+            if rc % min(_RC_FWD, _RC_BWD) == 0:
+                t_sep = x.shape[1]
+                p_len = -(-t_sep // rc) * rc
+                if p_len != t_sep:
+                    x = jnp.pad(x, ((0, 0), (0, p_len - t_sep), (0, 0)))
+                sep_valid = t_sep
         if self.multi_fuse:
             for r in range(self.R):
                 if self.spk_fuse_type == "concatConv":
@@ -671,6 +712,7 @@ class ConvTasNet(nn.Module):
                         causal=self.causal,
                         fuse_gln=self.fuse_gln,
                         pallas_tcn=self.pallas_tcn,
+                        valid_len=sep_valid,
                         name=f"fuse_{r}",
                     )(x, embed)
                     x = TCNStack(
@@ -685,6 +727,7 @@ class ConvTasNet(nn.Module):
                         remat=self.remat,
                         fuse_gln=self.fuse_gln,
                         pallas_tcn=self.pallas_tcn,
+                        valid_len=sep_valid,
                         name=f"tcn_{r}",
                     )(x)
                 else:
@@ -732,6 +775,9 @@ class ConvTasNet(nn.Module):
                 fuse_gln=self.fuse_gln,
                 name="tcn",
             )(x)
+
+        if sep_valid is not None:
+            x = x[:, :sep_valid]  # drop the pad-once tail
 
         # --- decoder ----------------------------------------------------------
         t_len = mix.shape[-1]
