@@ -158,6 +158,13 @@ def main():
             errors[family] = "%s: %s" % (
                 type(e).__name__,
                 (str(e).splitlines() or [""])[-1][:200])
+    try:
+        from tools.bench_models import bench_gan
+
+        results.update(bench_gan())
+    except Exception as e:
+        errors["gan"] = "%s: %s" % (
+            type(e).__name__, (str(e).splitlines() or [""])[-1][:200])
 
     try:
         # merge: tools/bench_runtime.py contributes serving-RTF entries

@@ -234,3 +234,112 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def bench_gan():
+    """MetricGAN (DPCCN + CMGAN discriminator) step timing at the
+    dpcc_init_gan conf envelope (batch 4, 3 s chunks), for each metric
+    variant: 'pesq' (jittable on-device P.862 — the TPU-native answer
+    to the reference's per-batch host PESQ round trip,
+    executor_gan.py:309-337), 'sisdr' (cheap on-device proxy), and
+    'pesq_host' (host pure_callback — quantifies the stall the
+    reference design pays every batch)."""
+    import functools as ft
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from wesep_tpu.models import get_model
+    from wesep_tpu.models.discriminator import CMGANDiscriminator
+    from wesep_tpu.train.losses import si_sdr_loss
+    from wesep_tpu.train.schedulers import exponential_decrease
+    from wesep_tpu.train.trainer import TrainState, init_train_state, make_optimizer
+    from wesep_tpu.train.trainer_gan import (
+        make_gan_train_step,
+        metric_pesq,
+        metric_pesq_callback,
+        metric_sisdr_norm,
+    )
+
+    batch_n = 4
+    t = int(CHUNK_SEC * SR)
+    model = get_model("DPCCN")(spk_emb_dim=256, win=512, stride=128,
+                               joint_training=False)
+    disc = CMGANDiscriminator()
+    rng = np.random.default_rng(0)
+    batch = {
+        "wav_mix": jnp.asarray(
+            rng.standard_normal((batch_n, t)).astype(np.float32) * 0.1),
+        "wav_targets": jnp.asarray(
+            rng.standard_normal((batch_n, t)).astype(np.float32) * 0.1),
+        "spk_embeds": jnp.asarray(
+            rng.standard_normal((batch_n, 256)).astype(np.float32)),
+        "spk_label": jnp.zeros((batch_n,), jnp.int32),
+    }
+    sched = exponential_decrease(num_epochs=150, epoch_iter=1000,
+                                 initial_lr=5e-4, final_lr=2.5e-5,
+                                 warm_up_epoch=0)
+    g_opt = make_optimizer(sched, weight_decay=0.0, clip_grad=5.0)
+    d_opt = make_optimizer(sched, weight_decay=0.0, clip_grad=5.0)
+    metrics_tbl = {
+        "pesq": ft.partial(metric_pesq, fs=SR),
+        "sisdr": metric_sisdr_norm,
+    }
+    # 'pesq_host' (metric_pesq_callback) cannot run through this TPU
+    # transport at all: axon_pjrt rejects host callbacks
+    # ("UNIMPLEMENTED: ... does not support host send/recv callbacks").
+    # The reference's per-batch host-PESQ design (executor_gan.py:
+    # 309-337) is therefore not just slow on TPU — it is impossible
+    # here; the jittable on-device P.862 is the production path. The
+    # would-be stall is still quantified below by timing the host-side
+    # P.862 on one batch (the reference pays it serialized per step).
+    del metric_pesq_callback  # documented-unsupported on axon
+    res = {}
+    for name, metric in metrics_tbl.items():
+        # the host P.862 costs ~seconds per batch: time it with minimal
+        # repetitions (it needs no relay-noise averaging anyway)
+        warm, n_steps, windows = (1, 2, 1) if name == "pesq_host" else (3, 5, 3)
+        raw = make_gan_train_step(model, disc, g_opt, d_opt,
+                                  [si_sdr_loss], metric_fn=metric)
+        step = jax.jit(raw, donate_argnums=(0,))
+        g_state = init_train_state(model, jax.random.PRNGKey(0), batch,
+                                   g_opt)
+        d_vars = disc.init(
+            {"params": jax.random.PRNGKey(1),
+             "dropout": jax.random.PRNGKey(2)},
+            batch["wav_targets"], batch["wav_mix"], train=True,
+        )
+        d_state = TrainState(
+            params=d_vars["params"],
+            batch_stats=d_vars.get("batch_stats", {}),
+            opt_state=d_opt.init(d_vars["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+        states = (g_state, d_state)
+        for _ in range(warm):
+            states, m = step(states, batch)
+            float(m["loss"])
+        elapsed = float("inf")
+        for _ in range(windows):
+            start = time.perf_counter()
+            for _ in range(n_steps):
+                states, m = step(states, batch)
+            float(m["loss"])
+            elapsed = min(elapsed, time.perf_counter() - start)
+        sec = elapsed / n_steps
+        res[f"gan_dpccn_train_ms_per_step_{name}"] = round(sec * 1e3, 1)
+        res[f"gan_dpccn_train_audio_sec_per_sec_1chip_{name}"] = round(
+            batch_n * CHUNK_SEC / sec, 1)
+    # host-side P.862 cost for one batch = the per-step stall the
+    # reference's callback design would pay (fully serialized there)
+    from wesep_tpu.utils.score import cal_PESQ_norm
+
+    est = np.asarray(batch["wav_mix"])
+    ref = np.asarray(batch["wav_targets"])
+    start = time.perf_counter()
+    for i in range(batch_n):
+        cal_PESQ_norm(est[i], ref[i], SR)
+    res["gan_dpccn_host_pesq_ms_per_batch"] = round(
+        (time.perf_counter() - start) * 1e3, 1)
+    return res
