@@ -93,8 +93,11 @@ class Conv2dBlock(nn.Module):
         # matrix, BASELINE.md: 1.75x at Ci=16, 1.18x at 32, 0.3-0.5x at
         # Ci>=80 where the (P+2)/3 FLOP inflation and small T-chunks
         # starve the MXU) — route wide-concat convs to XLA
+        import os
+
+        gate = int(os.environ.get("WESEP_CONV2D_CI_GATE", "32"))
         if (
-            self.conv_impl == "pallas" and plain3x3 and in_ch <= 32
+            self.conv_impl == "pallas" and plain3x3 and in_ch <= gate
             and _pallas_ok()
         ):
             # fused conv+ELU+IN Pallas kernel: the post-ELU stream stays

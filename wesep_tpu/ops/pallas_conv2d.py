@@ -43,6 +43,7 @@ tests: tests/test_pallas_conv2d.py.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -63,10 +64,19 @@ def _pick_p(co):
 
 
 def _pick_tc(f, ci, co, p):
-    """T-chunk rows: per-row cost ~ the padded x row + e row + taps."""
-    budget = 4 * 1024 * 1024
+    """T-chunk rows: per-row cost ~ the padded x row + e row + taps.
+
+    The budget (and the matching vmem_limit_bytes on the pallas_calls)
+    was raised in r5 once the 16 MB scoped-VMEM cap turned out to be a
+    compiler default, not the physical limit (see ops/pallas_tcn.py) —
+    the original falsification blamed VMEM-forced tiny chunks for
+    starving the MXU, so this directly retests that premise
+    (WESEP_CONV2D_BUDGET_MB to sweep)."""
+    import os
+
+    budget = int(os.environ.get("WESEP_CONV2D_BUDGET_MB", "16")) << 20
     per_row = (f + p + 2) * ci * 4 * 3 + f * co * 4 * 2
-    tc = max(16, min(256, (budget // per_row) // 16 * 16))
+    tc = max(16, min(1024, (budget // per_row) // 16 * 16))
     return tc
 
 
@@ -239,6 +249,8 @@ def _fwd_call(x2, wb, bias, shapes, eps):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=int(os.environ.get(
+                "WESEP_CONV2D_VMEM_MB", "26")) * 1024 * 1024,
         ),
         interpret=not pallas_available(),
     )(
@@ -460,6 +472,8 @@ def _bwd_call(x2, wb, bias, stats, dy2, shapes, eps):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=int(os.environ.get(
+                "WESEP_CONV2D_VMEM_MB", "26")) * 1024 * 1024,
         ),
         interpret=not pallas_available(),
     )(
