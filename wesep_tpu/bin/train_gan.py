@@ -333,13 +333,25 @@ def train_gan(config: str, checkpoint=None, overrides=None, **kwargs):
             except Exception:
                 pass
         if rank == 0 and epoch % configs.get("save_epoch_interval", 1) == 0:
+            ckpt_name = f"checkpoint_{epoch}.ckpt"
             save_checkpoint(
-                os.path.join(model_dir, f"checkpoint_{epoch}.ckpt"),
+                os.path.join(model_dir, ckpt_name),
                 [states[0].params, states[1].params],
                 [states[0].opt_state, states[1].opt_state],
                 [states[0].batch_stats, states[1].batch_stats],
                 step=int(states[0].step),
             )
+            latest = os.path.join(model_dir, "latest_checkpoint.ckpt")
+            if os.path.islink(latest) or os.path.exists(latest):
+                os.remove(latest)
+            os.symlink(ckpt_name, latest)
+    if rank == 0:
+        # final symlink, same contract as bin/train (reference
+        # train_gan.py mirrors train.py's latest/final links)
+        final = os.path.join(model_dir, "final_checkpoint.ckpt")
+        if os.path.islink(final) or os.path.exists(final):
+            os.remove(final)
+        os.symlink(f"checkpoint_{configs['num_epochs']}.ckpt", final)
     return states
 
 

@@ -33,6 +33,12 @@ def get_args():
     parser.add_argument("--chunk_len", type=int, default=32000)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
+        "--gan", action="store_true",
+        help="train via the MetricGAN path (bin.train_gan: CMGAN "
+        "discriminator + on-device P.862 targets) instead of plain "
+        "bin.train — the GAN-path convergence row of the battery",
+    )
+    parser.add_argument(
         "--online_mix", action="store_true",
         help="validate the TPU-first online-mix path: single-speaker "
         "training shards, joint speaker encoder on raw enrollment wavs, "
@@ -223,6 +229,7 @@ def run(work_dir, model="BSRNN", num_epochs=4, online_mix=False, **kw):
         work_dir=work_dir, model=model, num_spk=8, utts_per_spk=12,
         num_epochs=num_epochs, batch_size=8, feature_dim=32,
         num_repeat=2, chunk_len=32000, seed=0, online_mix=online_mix,
+        gan=False,
     )
     for k, v in kw.items():
         setattr(args, k, v)
@@ -278,15 +285,27 @@ def _run(args):
             "warm_up_epoch": 0, "warm_from_zero": False,
         }},
     }
+    if getattr(args, "gan", False):
+        config["model"]["discriminator"] = "CMGAN_Discriminator"
+        config["model_args"]["discriminator"] = {"hid_chans": 8}
+        config["gan_loss_weight"] = 0.05
+        config["gan_metric"] = "pesq"
     cfg_path = os.path.join(root, "config.yaml")
     with open(cfg_path, "w") as f:
         yaml.dump(config, f)
 
     from wesep_tpu.bin.infer import infer
-    from wesep_tpu.bin.train import train
 
-    print(f"== training {args.model} for {args.num_epochs} epochs ==")
-    train(cfg_path)
+    if getattr(args, "gan", False):
+        from wesep_tpu.bin.train_gan import train_gan
+
+        print(f"== GAN-training {args.model} for {args.num_epochs} epochs ==")
+        train_gan(cfg_path)
+    else:
+        from wesep_tpu.bin.train import train
+
+        print(f"== training {args.model} for {args.num_epochs} epochs ==")
+        train(cfg_path)
     print("== inference ==")
     sisnr, sisnri = infer(
         cfg_path,
