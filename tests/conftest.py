@@ -72,3 +72,31 @@ def _jitted_init(self, rngs, *args, **kwargs):
 
 
 _fnn.Module.init = _jitted_init
+
+
+# Cross-worker serialization of subprocess-spawning tests. The old
+# mechanism was xdist_group("subproc") + --dist loadgroup, which pins
+# the whole group to ONE worker and (r5 measurement) leaves a serial
+# tail that binds the suite wall clock; --dist worksteal rebalances
+# stragglers (-18% wall) but ignores groups. This flock keeps the
+# group's guarantee — at most one subprocess-heavy test at a time on
+# the 4-core harness — under any scheduler.
+import fcntl  # noqa: E402
+import tempfile  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _serialize_subproc_tests(request):
+    marker = request.node.get_closest_marker("xdist_group")
+    if not marker or "subproc" not in (marker.args or ()):
+        yield
+        return
+    path = os.path.join(tempfile.gettempdir(), "wesep_subproc_tests.lock")
+    with open(path, "w") as f:
+        fcntl.flock(f, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(f, fcntl.LOCK_UN)

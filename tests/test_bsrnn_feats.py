@@ -1,6 +1,7 @@
 """BSRNN_Feats: tfmap_spec / tfmap_emb / cross-attention fusion paths."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +42,7 @@ def test_tfmap_spec():
     assert bool(jnp.all(jnp.isfinite(est)))
 
 
+@pytest.mark.slow  # 55s smoke superseded by reference-parity variants
 def test_cross_attention_fuse_with_ecapa():
     from wesep_tpu.models import get_model
 
@@ -93,7 +95,6 @@ def test_tfmap_emb_with_ecapa():
 # mapping; the extras below port attenFuse (Linear + nn.MultiheadAttention)
 # and the cross SpeakerFuseLayer.
 
-import pytest
 
 torch = pytest.importorskip("torch")
 
@@ -190,6 +191,7 @@ def _ecapa_variables(ref, params):
     }
 
 
+@pytest.mark.slow  # 58s; cross_fuse/tfmap_emb reference parity stays fast
 def test_tfmap_spec_matches_reference():
     """tfmap_spec cue + consistent melspec -> ECAPA embedding + multiply
     fuse: waveform parity at the flagship bar."""

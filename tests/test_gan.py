@@ -1,6 +1,7 @@
 """CMGAN discriminator + MetricGAN train step."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -175,6 +176,7 @@ def test_gan_train_step_data_parallel_matches_single_device():
             )
 
 
+@pytest.mark.slow  # 50s determinism niche
 def test_gan_dropout_schedule_follows_config_seed():
     """Two config seeds must give different discriminator dropout
     schedules, and the same seed must reproduce (VERDICT r2: GAN twin of

@@ -87,7 +87,18 @@ def _ref_decode(name, ref, mix, emb):
     return est.numpy()[0]
 
 
-@pytest.mark.parametrize("name", list(FAMILIES))
+# heavy families ride the slow suite; BSRNN + ConvTasNet (SpEx+) keep
+# converter->infer->waveform coverage in the fast suite
+_HEAVY = {"DPCCN", "TFGridNet", "BSRNN_Multi"}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=[pytest.mark.slow] if n in _HEAVY else [])
+        for n in FAMILIES
+    ],
+)
 def test_converted_checkpoint_decodes_like_reference(
     monkeypatch, tmp_path, name
 ):

@@ -109,6 +109,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.slow  # 90s 2-proc run; virtual-mesh sharding tests cover fast numerics
 @pytest.mark.xdist_group("subproc")
 def test_two_process_data_parallel(tmp_path):
     coord = f"127.0.0.1:{_free_port()}"

@@ -61,6 +61,7 @@ def test_patch_conv_grads_match():
         )
 
 
+@pytest.mark.slow  # study-artifact conv_impl (falsified path), 60s
 def test_dpccn_conv_impl_patch_checkpoint_interchange():
     """conv_impl='patch' uses identical param names/shapes, so a
     checkpoint trained either way loads in both."""

@@ -129,7 +129,12 @@ def test_conf_is_accepted(conf):
             )
         variables = model.init(jax.random.PRNGKey(0), mix, enroll,
                                train=False)
-        out = model.apply(variables, mix, enroll, train=False)
+        # jit the forward: the eager apply dispatches thousands of tiny
+        # CPU ops (~30 s per joint conf); the compiled version lands in
+        # the persistent .jax_cache so warm suite runs skip it entirely
+        out = jax.jit(
+            lambda v, m, e: model.apply(v, m, e, train=False)
+        )(variables, mix, enroll)
         ests = out[0]
         est = ests[0] if isinstance(ests, (list, tuple)) else ests
         assert est.shape[-1] == t

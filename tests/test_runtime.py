@@ -134,6 +134,7 @@ def test_separate_main_end_to_end(runtime_build, tmp_path):
         assert np.isfinite(wav).all()
 
 
+@pytest.mark.slow  # 60s; embedded-XLA engine test keeps fast runtime coverage
 def test_tf_engine_python_free(runtime_build, tmp_path):
     """SavedModel export -> separate_main runs it through the TF C API
     with no Python: the fully self-contained serving path (counterpart of
@@ -287,6 +288,7 @@ def test_tf_engine_python_free(runtime_build, tmp_path):
         assert err < 0.05, f"long spk{i+1} windowing mismatch (max {err})"
 
 
+@pytest.mark.slow  # 33s; embedded-XLA engine test keeps fast runtime coverage
 def test_tf_engine_multithreaded_scp(runtime_build, tmp_path):
     """--num_threads N: parallel TF-engine workers over an scp give
     bit-identical outputs to the sequential run (per-worker sessions, no

@@ -83,7 +83,14 @@ def test_tfgridnet_grad_finite():
     )
 
 
-@pytest.mark.parametrize("fuse_type", ["multiply", "FiLM", "None"])
+@pytest.mark.parametrize(
+    "fuse_type",
+    ["multiply",
+     # the FiLM/None variants cover the same scan-vs-unrolled machinery
+     # with a different (cheap) fuse affine — slow-suite only
+     pytest.param("FiLM", marks=pytest.mark.slow),
+     pytest.param("None", marks=pytest.mark.slow)],
+)
 def test_scan_layers_matches_unrolled(fuse_type):
     """scan_layers=True (one lax.scan body over stacked per-layer params)
     reproduces the unrolled model exactly after stack_gridnet_blocks."""

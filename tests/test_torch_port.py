@@ -12,8 +12,11 @@ from test_bsrnn import _install_reference  # noqa: E402
 
 @pytest.mark.parametrize(
     "multi_fuse,fuse_type",
-    [(False, "multiply"), (True, "multiply"), (False, "FiLM"),
-     (True, "FiLM")],
+    [(False, "multiply"), (True, "multiply"),
+     # FiLM re-exercises the same port mapping with a different fuse
+     # module; slow-suite only
+     pytest.param(False, "FiLM", marks=pytest.mark.slow),
+     pytest.param(True, "FiLM", marks=pytest.mark.slow)],
 )
 def test_port_bsrnn_state_dict_matches_reference(monkeypatch, multi_fuse,
                                                  fuse_type):

@@ -103,6 +103,7 @@ def test_train_gan_binary(tmp_path):
     )
 
 
+@pytest.mark.slow  # 44s; binary e2e + preemption tests keep fast GAN/resume coverage
 def test_train_gan_resume(tmp_path):
     """GAN resume: --checkpoint restores BOTH optimizer states and the
     epoch counter (reference train_gan.py resume semantics)."""
