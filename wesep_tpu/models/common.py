@@ -207,12 +207,16 @@ class BatchNorm1d(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        # cast back: flax BatchNorm promotes bf16 x against its f32
+        # params/stats and returns f32, which would silently run the
+        # whole downstream speaker branch in f32 under mixed precision
+        # (the r4/r5 promotion-bug class); stats still accumulate f32
         return nn.BatchNorm(
             use_running_average=not train,
             momentum=self.momentum,
             epsilon=self.eps,
             axis_name=None,
-        )(x)
+        )(x).astype(x.dtype)
 
 
 def get_norm(kind: str, eps: float = 1e-5, name: str = None):

@@ -541,10 +541,10 @@ class ResBlockSpk(nn.Module):
         in_dims = x.shape[-1]
         residual = x
         y = Conv1d(self.out_dims, 1, use_bias=False)(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9)(y).astype(y.dtype)
         y = PReLU()(y)
         y = Conv1d(self.out_dims, 1, use_bias=False)(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9)(y).astype(y.dtype)
         if in_dims != self.out_dims:
             residual = Conv1d(self.out_dims, 1, use_bias=False)(residual)
         y = PReLU()(y + residual)

@@ -55,12 +55,12 @@ class BasicResBlock(nn.Module):
             use_bias=False, name="conv1",
         )(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bn1")(y)
+                         name="bn1")(y).astype(y.dtype)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
                     name="conv2")(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bn2")(y)
+                         name="bn2")(y).astype(y.dtype)
         if self.stride != 1 or x.shape[-1] != self.planes:
             residual = nn.Conv(
                 self.planes, (1, 1), strides=(self.stride, 1),
@@ -69,7 +69,7 @@ class BasicResBlock(nn.Module):
             residual = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9,
                 name="shortcut_bn",
-            )(residual)
+            )(residual).astype(residual.dtype)
         return nn.relu(y + residual)
 
 
@@ -85,7 +85,7 @@ class FCM(nn.Module):
         x = nn.Conv(self.m_channels, (3, 3), padding=1, use_bias=False,
                     name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bn1")(x)
+                         name="bn1")(x).astype(x.dtype)
         x = nn.relu(x)
         for stage in (1, 2):
             for i, stride in enumerate((2, 1)):
@@ -97,7 +97,7 @@ class FCM(nn.Module):
             use_bias=False, name="conv2",
         )(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bn2")(x)
+                         name="bn2")(x).astype(x.dtype)
         x = nn.relu(x)
         # C-major flatten: torch (B, C, F', T).reshape(B, C*F', T)
         b, f, t, c = x.shape
@@ -156,12 +156,12 @@ class DTDNNLayer(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bn1")(x)
+                         name="bn1")(x).astype(x.dtype)
         y = nn.relu(y)
         y = Conv1d(self.growth * self.bn_size, 1, use_bias=False,
                    name="conv1")(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bn2")(y)
+                         name="bn2")(y).astype(y.dtype)
         y = nn.relu(y)
         y = CAMLayer(
             self.growth * self.bn_size, self.growth, self.kernel_size,
@@ -194,7 +194,7 @@ class CAMPPlus(nn.Module):
         x = Conv1d(self.init_channels, 5, stride=2, padding=2,
                    use_bias=False, name="tdnn")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="tdnn_bn")(x)
+                         name="tdnn_bn")(x).astype(x.dtype)
         x = nn.relu(x)
         for stage, (n_layers, dilation) in enumerate(self.stages, start=1):
             for i in range(n_layers):
@@ -204,12 +204,12 @@ class CAMPPlus(nn.Module):
                 )(x, train)
             # transition: BN + relu + channel-halving 1x1 (no bias)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             name=f"transit{stage}_bn")(x)
+                             name=f"transit{stage}_bn")(x).astype(x.dtype)
             x = nn.relu(x)
             x = Conv1d(x.shape[-1] // 2, 1, use_bias=False,
                        name=f"transit{stage}_conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="out_bn")(x)
+                         name="out_bn")(x).astype(x.dtype)
         x = nn.relu(x)
         pooled = get_pooling(self.pooling_func)(name="pool")(x, train)
         # DenseLayer(config_str='batchnorm_'): 1x1 no bias -> affine-free BN
@@ -217,4 +217,4 @@ class CAMPPlus(nn.Module):
         return nn.BatchNorm(
             use_running_average=not train, momentum=0.9,
             use_scale=False, use_bias=False, name="dense_bn",
-        )(emb)
+        )(emb).astype(emb.dtype)

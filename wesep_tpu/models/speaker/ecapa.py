@@ -79,16 +79,16 @@ class SERes2Block(nn.Module):
         y = Conv1d(self.channels, 1, name="conv_in")(x)
         y = nn.relu(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bn_in")(y)
+                         name="bn_in")(y).astype(y.dtype)
         y = Res2Conv(self.kernel_size, self.dilation, self.scale,
                      name="res2")(y)
         y = nn.relu(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bn_mid")(y)
+                         name="bn_mid")(y).astype(y.dtype)
         y = Conv1d(self.channels, 1, name="conv_out")(y)
         y = nn.relu(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bn_out")(y)
+                         name="bn_out")(y).astype(y.dtype)
         y = SEBlock(name="se")(y)
         return y + residual
 
@@ -112,7 +112,7 @@ class ECAPA_TDNN(nn.Module):
         x = Conv1d(self.channels, 5, padding=2, name="layer1")(feats)
         x = nn.relu(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bn1")(x)
+                         name="bn1")(x).astype(x.dtype)
         outs = []
         for i, dil in enumerate((2, 3, 4)):
             x = SERes2Block(
@@ -132,7 +132,7 @@ class ECAPA_TDNN(nn.Module):
         pooled = nn.BatchNorm(
             use_running_average=not train, momentum=0.9,
             use_scale=True, use_bias=True, name="pool_bn",
-        )(pooled)
+        )(pooled).astype(pooled.dtype)
         return nn.Dense(self.embed_dim, name="linear")(pooled)
 
 

@@ -214,11 +214,11 @@ class ECAPA_TDNN_WS(nn.Module):
         pooled = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             name="bn",
-        )(pooled)
+        )(pooled).astype(pooled.dtype)
         emb = nn.Dense(self.embed_dim, name="linear")(pooled)
         if self.emb_bn:
             emb = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 name="bn2",
-            )(emb)
+            )(emb).astype(emb.dtype)
         return emb

@@ -42,12 +42,12 @@ class BasicBlock(nn.Module):
             padding=1, use_bias=False, name="conv1",
         )(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bn1")(y)
+                         name="bn1")(y).astype(y.dtype)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
                     name="conv2")(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bn2")(y)
+                         name="bn2")(y).astype(y.dtype)
         if self.stride != 1 or x.shape[-1] != self.planes:
             residual = nn.Conv(
                 self.planes, (1, 1), strides=(self.stride, self.stride),
@@ -56,7 +56,7 @@ class BasicBlock(nn.Module):
             residual = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9,
                 name="shortcut_bn",
-            )(residual)
+            )(residual).astype(residual.dtype)
         return nn.relu(y + residual)
 
 
@@ -71,18 +71,18 @@ class Bottleneck(nn.Module):
         out_ch = self.planes * self.expansion
         y = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bn1")(y)
+                         name="bn1")(y).astype(y.dtype)
         y = nn.relu(y)
         y = nn.Conv(
             self.planes, (3, 3), strides=(self.stride, self.stride),
             padding=1, use_bias=False, name="conv2",
         )(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bn2")(y)
+                         name="bn2")(y).astype(y.dtype)
         y = nn.relu(y)
         y = nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3")(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bn3")(y)
+                         name="bn3")(y).astype(y.dtype)
         if self.stride != 1 or x.shape[-1] != out_ch:
             residual = nn.Conv(
                 out_ch, (1, 1), strides=(self.stride, self.stride),
@@ -91,7 +91,7 @@ class Bottleneck(nn.Module):
             residual = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9,
                 name="shortcut_bn",
-            )(residual)
+            )(residual).astype(residual.dtype)
         return nn.relu(y + residual)
 
 
@@ -111,7 +111,7 @@ class ResNet(nn.Module):
         x = nn.Conv(self.m_channels, (3, 3), padding=1, use_bias=False,
                     name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bn1")(x)
+                         name="bn1")(x).astype(x.dtype)
         x = nn.relu(x)
         for stage, (n, stride) in enumerate(
             zip(self.num_blocks, (1, 2, 2, 2))
@@ -133,7 +133,7 @@ class ResNet(nn.Module):
             y = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9,
                 use_scale=False, use_bias=False, name="seg_bn_1",
-            )(y)
+            )(y).astype(y.dtype)
             embed_b = nn.Dense(self.embed_dim, name="seg_2")(y)
             return embed_a, embed_b
         return embed_a
